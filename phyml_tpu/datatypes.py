@@ -1,0 +1,91 @@
+"""State spaces and ambiguity encodings for nucleotide / amino-acid data.
+
+Behavioral parity with the reference tip encoding
+(phyml lk.c:26-270, Init_Tips_At_One_Site_Nucleotides_Float /
+_AA_Float): an observed state gets a one-hot vector over the state
+space; an ambiguity code gets 1.0 on every compatible state; gaps and
+unknowns get the all-ones vector.  Tip conditional-likelihood vectors
+are exactly these 0/1 vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NT = "nt"
+AA = "aa"
+
+NT_STATES = "ACGT"
+AA_STATES = "ARNDCQEGHILKMFPSTWYV"  # PhyML order (utilities.h AA indexing)
+
+# IUPAC nucleotide ambiguity codes -> compatible ACGT states
+# (phyml lk.c:60-120).  U is T; anything unknown is a full gap.
+_NT_AMBIG = {
+    "A": "A", "C": "C", "G": "G", "T": "T", "U": "T",
+    "M": "AC", "R": "AG", "W": "AT", "S": "CG", "Y": "CT", "K": "GT",
+    "B": "CGT", "D": "AGT", "H": "ACT", "V": "ACG",
+    "N": "ACGT", "X": "ACGT", "?": "ACGT", "-": "ACGT", "O": "ACGT",
+}
+
+# Amino-acid ambiguity codes (phyml lk.c:180-260): B = N or D,
+# Z = Q or E, J = I or L, X/?/- = anything.
+_AA_AMBIG = {c: c for c in AA_STATES}
+_AA_AMBIG.update({
+    "B": "ND", "Z": "QE", "J": "IL",
+    "X": AA_STATES, "?": AA_STATES, "-": AA_STATES, "*": AA_STATES,
+})
+
+
+def n_states(datatype: str) -> int:
+    if datatype == NT:
+        return 4
+    if datatype == AA:
+        return 20
+    raise ValueError(f"unknown datatype {datatype!r}")
+
+
+def state_alphabet(datatype: str) -> str:
+    return NT_STATES if datatype == NT else AA_STATES
+
+
+def ambiguity_table(datatype: str) -> np.ndarray:
+    """[256, ns] float32 table: ASCII byte -> tip partial vector."""
+    ns = n_states(datatype)
+    alpha = state_alphabet(datatype)
+    amb = _NT_AMBIG if datatype == NT else _AA_AMBIG
+    table = np.zeros((256, ns), dtype=np.float32)
+    for code, states in amb.items():
+        row = np.zeros(ns, dtype=np.float32)
+        for s in states:
+            row[alpha.index(s)] = 1.0
+        table[ord(code)] = row
+        table[ord(code.lower())] = row
+    return table
+
+
+def encode_sequences(seqs: list[str], datatype: str) -> np.ndarray:
+    """Encode raw sequence strings -> tip partials [n_otu, n_sites, ns]."""
+    table = ambiguity_table(datatype)
+    mat = np.frombuffer(
+        "".join(seqs).encode("ascii"), dtype=np.uint8
+    ).reshape(len(seqs), -1)
+    enc = table[mat]
+    bad = enc.sum(axis=-1) == 0.0
+    if bad.any():
+        i, j = np.argwhere(bad)[0]
+        raise ValueError(
+            f"unrecognized character {chr(mat[i, j])!r} in sequence {i} "
+            f"site {j} for datatype {datatype!r}"
+        )
+    return enc
+
+
+def is_ambiguous(enc: np.ndarray) -> np.ndarray:
+    """[n_otu, n_sites] bool: more than one compatible state."""
+    return enc.sum(axis=-1) > 1.0
+
+
+def state_index(enc: np.ndarray) -> np.ndarray:
+    """[n_otu, n_sites] int32: argmax state for unambiguous columns
+    (undefined where ambiguous)."""
+    return enc.argmax(axis=-1).astype(np.int32)

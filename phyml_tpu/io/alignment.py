@@ -1,0 +1,179 @@
+"""Alignment container + site-pattern compression.
+
+Parity targets in the reference:
+  - Compact_Data (utilities.c:215): crunch alignment columns into
+    weighted unique site patterns, tracking per-pattern weights,
+    invariant-site flags and ambiguity flags.
+  - Get_Base_Freqs / Get_AA_Freqs (utilities.c:594/710): empirical
+    equilibrium frequencies with 8 EM iterations distributing
+    ambiguity-code mass proportionally to current frequency estimates.
+
+The reference uses a prefix-tree (pnode) for pattern dedup; here a
+vectorized numpy unique over encoded columns does the same job in one
+shot — patterns become the TPU sharding axis downstream.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from phyml_tpu import datatypes
+from phyml_tpu.io.fasta import parse_fasta
+from phyml_tpu.io.phylip import parse_phylip
+
+
+@dataclass
+class Alignment:
+    """Compressed alignment: unique site patterns with weights."""
+
+    names: list[str]
+    datatype: str                    # "nt" | "aa"
+    partials: np.ndarray             # [n_otu, n_patterns, ns] float32 0/1
+    weights: np.ndarray              # [n_patterns] float64 pattern counts
+    site_to_pattern: np.ndarray      # [n_sites] int32
+    invariant: np.ndarray            # [n_patterns] int32: state id if the
+    # pattern is compatible with a single constant state, else -1
+    # (reference: calign->invar, utilities.c:507-529)
+    obs_state_freqs: np.ndarray = field(default=None)  # [ns] float64
+
+    @property
+    def n_otu(self) -> int:
+        return len(self.names)
+
+    @property
+    def n_patterns(self) -> int:
+        return self.partials.shape[1]
+
+    @property
+    def n_sites(self) -> int:
+        return int(self.site_to_pattern.shape[0])
+
+    @property
+    def ns(self) -> int:
+        return self.partials.shape[2]
+
+    def resample_weights(self, rng: np.random.Generator) -> np.ndarray:
+        """Multinomial bootstrap weights over original sites
+        (reference: Bootstrap utilities.c:3884 draws sites uniformly)."""
+        draws = rng.integers(0, self.n_sites, size=self.n_sites)
+        pat = self.site_to_pattern[draws]
+        return np.bincount(pat, minlength=self.n_patterns).astype(np.float64)
+
+
+def compact(
+    enc: np.ndarray,
+    names: list[str],
+    datatype: str,
+    site_weights: np.ndarray | None = None,
+) -> Alignment:
+    """Compress encoded sites [n_otu, n_sites, ns] into unique patterns."""
+    n_otu, n_sites, ns = enc.shape
+    # Pack each column's tip vectors into a hashable key: the encoding
+    # is 0/1 so a bit-pack over (otu, state) identifies the pattern.
+    bits = (enc > 0).transpose(1, 0, 2).reshape(n_sites, n_otu * ns)
+    packed = np.packbits(bits, axis=1)
+    _, first_idx, inverse = np.unique(
+        packed, axis=0, return_index=True, return_inverse=True
+    )
+    # Keep patterns in order of first appearance (reference keeps
+    # first-seen order; only affects output dumps, not lnL).
+    order = np.argsort(first_idx)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    site_to_pattern = rank[inverse].astype(np.int32)
+    pattern_sites = first_idx[order]
+
+    partials = enc[:, pattern_sites, :].astype(np.float32)
+    if site_weights is None:
+        site_weights = np.ones(n_sites, dtype=np.float64)
+    weights = np.zeros(len(pattern_sites), dtype=np.float64)
+    np.add.at(weights, site_to_pattern, site_weights)
+
+    # Invariant flag (utilities.c:490-514): a pattern is invariant iff
+    # some taxon has a definite (unambiguous) state and every taxon is
+    # compatible with it; the invariant state is that definite state.
+    # All-ambiguous columns (e.g. all gaps) are NOT invariant, matching
+    # Assign_State returning -1 for ambiguity codes.
+    compat_mask = partials > 0                       # [n_otu, n_pat, ns]
+    definite = compat_mask.sum(axis=2) == 1          # [n_otu, n_pat]
+    inter = compat_mask.all(axis=0)                  # [n_pat, ns]
+    def_state = compat_mask.argmax(axis=2)           # [n_otu, n_pat]
+    has_def = definite.any(axis=0)                   # [n_pat]
+    first_def = np.where(definite, def_state, n_otu * ns)  # big sentinel
+    first_tax = definite.argmax(axis=0)
+    state = def_state[first_tax, np.arange(def_state.shape[1])]
+    ok = has_def & inter[np.arange(inter.shape[0]), np.clip(state, 0, ns - 1)]
+    invariant = np.where(ok, state, -1).astype(np.int32)
+    del first_def
+    aln = Alignment(
+        names=list(names),
+        datatype=datatype,
+        partials=partials,
+        weights=weights,
+        site_to_pattern=site_to_pattern,
+        invariant=invariant,
+    )
+    aln.invar_mask = (partials > 0).all(axis=0)  # [n_patterns, ns]
+    aln.obs_state_freqs = empirical_freqs(aln)
+    return aln
+
+
+def empirical_freqs(aln: Alignment, n_iter: int = 8) -> np.ndarray:
+    """EM estimate of equilibrium frequencies, distributing ambiguity
+    mass by current estimates (utilities.c:594 Get_Base_Freqs /
+    utilities.c:710 Get_AA_Freqs; both run 8 fixed-point iterations)."""
+    ns = aln.ns
+    compat = (aln.partials > 0).astype(np.float64)  # [n_otu, n_pat, ns]
+    w = aln.weights[None, :, None]
+    f = np.full(ns, 1.0 / ns)
+    for _ in range(n_iter):
+        mass = compat * f  # [n_otu, n_pat, ns]
+        denom = mass.sum(axis=-1, keepdims=True)
+        counts = (w * mass / np.maximum(denom, 1e-300)).sum(axis=(0, 1))
+        f = counts / counts.sum()
+    return f
+
+
+def read_alignment(
+    path: str,
+    datatype: str | None = None,
+    interleaved: bool = True,
+    site_weights: np.ndarray | None = None,
+) -> Alignment:
+    """Read PHYLIP / FASTA / NEXUS with format autodetection
+    (reference autodetect: io.c:973)."""
+    with open(path) as fh:
+        text = fh.read()
+    stripped = text.lstrip()
+    if stripped.startswith(">"):
+        names, seqs = parse_fasta(text)
+    elif "#NEXUS" in text[:1024].upper():
+        from phyml_tpu.io.nexus import parse_nexus_alignment
+        names, seqs, dt = parse_nexus_alignment(text)
+        datatype = datatype or dt
+    else:
+        names, seqs = parse_phylip(text, interleaved=interleaved)
+    if datatype is None:
+        datatype = guess_datatype(seqs)
+    enc = datatypes.encode_sequences([s.upper() for s in seqs], datatype)
+    return compact(enc, names, datatype, site_weights=site_weights)
+
+
+def guess_datatype(seqs: list[str]) -> str:
+    """Reference heuristic: mostly-ACGTUN characters -> nucleotides."""
+    sample = "".join(seqs)[:10000].upper()
+    informative = [c for c in sample if c not in "-?.XN* "]
+    if not informative:
+        return datatypes.NT
+    nt_frac = sum(c in "ACGTU" for c in informative) / len(informative)
+    return datatypes.NT if nt_frac > 0.85 else datatypes.AA
+
+
+def read_site_weights(path: str) -> np.ndarray:
+    """Per-site weights file (reference: Read_Io_Weights io.c:1738)."""
+    with open(path) as fh:
+        vals = [float(tok) for tok in fh.read().split()]
+    return np.asarray(vals, dtype=np.float64)

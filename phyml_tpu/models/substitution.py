@@ -1,0 +1,220 @@
+"""Substitution-model configuration and jittable class-system builder.
+
+A `SubstModel` is the static description (model family, number of rate
+classes, what's free); `class_system(params)` turns a parameter pytree
+into the per-class eigensystem the likelihood engine consumes:
+
+    lam   [C, ns]       eigenvalues with the class rate folded in
+    V     [C, ns, ns]   right eigenvectors
+    Vinv  [C, ns, ns]
+    pi    [C, ns]       per-class stationary frequencies
+    w     [C]           class weights
+    pinv  scalar        invariant fraction (0 when disabled)
+
+This single structure subsumes the reference's t_mod + t_ras + the
+entire mixt.c chained-tree machinery (mixt.c:20-601): a PhyML
+"mixture" is just more classes with their own (Q, rate, weight, pi),
+i.e. a bigger leading axis here.  Gamma-across-sites: one Q, C rates
+(Update_RAS models.c:669).  LG4X: four Qs, four free rates/weights.
+Covarion (M4): one bigger Q (ns*K states).
+
+Reference parity notes:
+  * GTR rates are exp(log-rates) grouped by a 6-char custom string and
+    normalized by the G<->T rate (Update_Qmat_GTR models.c:487-510).
+  * Frequencies: 'empirical' (counted from data, the default for DNA),
+    'model' (the empirical AA matrix's frequencies, default for AA),
+    'optimize' (ML, via softmax of unconstrained logits), or 'fixed'
+    user values (cl.c -f handling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax.numpy as jnp
+import jax.nn
+import numpy as np
+
+from phyml_tpu.models import dna as dna_mod
+from phyml_tpu.models import matrices
+from phyml_tpu.models.eigen import reversible_eigen
+from phyml_tpu.models.rates import discrete_gamma, freerate_normalize
+
+RR_MIN, RR_MAX = 0.01, 100.0  # utilities.h clamps for GTR rates
+
+
+@dataclass
+class SubstModel:
+    datatype: str = "nt"              # "nt" | "aa"
+    name: str = "HKY85"
+    n_classes: int = 4                # gamma / freerate classes
+    gamma_median: bool = False
+    invar: bool = False               # +I
+    freerate: bool = False
+    freqs_mode: str | None = None     # empirical|model|optimize|fixed
+    # (None resolves to the reference default: 'empirical' for DNA,
+    #  'model' for AA - init.c defaults / cl.c -f handling)
+    fixed_freqs: Any = None           # np [ns] when freqs_mode == fixed
+    custom_string: str = "012345"     # DNA CUSTOM grouping
+    # Mixture components: list of (S [ns,ns], pi [ns]) numpy pairs.
+    # When set, n_classes == len(components) and each class has its own
+    # Q (LG4X-style); otherwise a single Q is shared across classes.
+    components: list | None = None
+    # which scalar parameters are optimized (used by the optimizer)
+    optimize_kappa: bool = True
+    optimize_alpha: bool = True
+    optimize_pinv: bool = False
+    optimize_rr: bool = True
+    optimize_freqs: bool = False
+
+    def __post_init__(self):
+        self.name = self.name.upper()
+        if self.freqs_mode is None:
+            self.freqs_mode = (
+                "empirical" if self.datatype == "nt" else "model"
+            )
+        if self.name in ("JC69", "K80"):
+            # these models fix pi = 1/4 (utilities.h model defs;
+            # stats output shows f(.) = 0.25 regardless of data)
+            self.freqs_mode = "fixed"
+            self.fixed_freqs = np.full(4, 0.25)
+
+    # ------------------------------------------------------------------
+    @property
+    def ns(self) -> int:
+        if self.components is not None:
+            return int(self.components[0][0].shape[-1])
+        return 4 if self.datatype == "nt" else 20
+
+    @property
+    def is_mixture(self) -> bool:
+        return self.components is not None
+
+    def init_params(self, obs_freqs: np.ndarray | None = None) -> dict:
+        """Default parameter pytree (reference defaults:
+        Set_Defaults_Model init.c:669 - kappa 4, alpha 1, pinv 0)."""
+        p: dict[str, Any] = {}
+        ns = self.ns
+        if self.datatype == "nt":
+            if self.name in ("K80", "HKY85", "F84", "TN93"):
+                p["kappa"] = jnp.asarray(4.0)
+            if self.name == "TN93":
+                p["lambda"] = jnp.asarray(1.0)
+            if self.name in ("GTR", "CUSTOM"):
+                cmap, n_rr = dna_mod.parse_custom_string(
+                    self.custom_string if self.name == "CUSTOM"
+                    else "012345"
+                )
+                p["rr_val"] = jnp.zeros(n_rr)  # log-rates
+        if self.n_classes > 1 and not self.freerate and not self.is_mixture:
+            p["alpha"] = jnp.asarray(1.0)
+        if self.is_mixture or self.freerate:
+            p["class_rates_raw"] = jnp.zeros(self.n_classes)
+            p["class_weights_raw"] = jnp.zeros(self.n_classes)
+            if self.is_mixture and self.n_classes > 1:
+                pass
+        if self.invar:
+            p["pinv"] = jnp.asarray(0.2)
+        if self.freqs_mode == "optimize":
+            base = obs_freqs if obs_freqs is not None else np.full(ns, 1 / ns)
+            p["freqs_raw"] = jnp.log(jnp.asarray(base, dtype=jnp.float64))
+        elif self.freqs_mode == "empirical":
+            if obs_freqs is None:
+                raise ValueError("empirical freqs need observed counts")
+            p["freqs_const"] = jnp.asarray(obs_freqs)
+        elif self.freqs_mode == "fixed":
+            p["freqs_const"] = jnp.asarray(self.fixed_freqs)
+        # 'model' mode: frequencies come from the component table(s)
+        return p
+
+    # ------------------------------------------------------------------
+    def _frequencies(self, params, comp_pi):
+        """Per-class pi [C, ns]."""
+        C, ns = self.n_classes, self.ns
+        if self.freqs_mode == "optimize":
+            pi = jax.nn.softmax(params["freqs_raw"])
+            return jnp.broadcast_to(pi, (C, ns))
+        if self.freqs_mode in ("empirical", "fixed"):
+            pi = params["freqs_const"]
+            pi = pi / jnp.sum(pi)
+            return jnp.broadcast_to(pi, (C, ns))
+        # 'model': per-component table frequencies
+        return comp_pi
+
+    def class_system(self, params: dict):
+        """params -> (lam, V, Vinv, pi, w, pinv), all jnp."""
+        C, ns = self.n_classes, self.ns
+
+        # --- per-class rates & weights -------------------------------
+        if self.is_mixture or self.freerate:
+            rates, w = freerate_normalize(
+                params["class_rates_raw"], params["class_weights_raw"]
+            )
+        elif C > 1:
+            rates, w = discrete_gamma(
+                params["alpha"], C, median=self.gamma_median
+            )
+        else:
+            rates = jnp.ones((1,))
+            w = jnp.ones((1,))
+
+        # --- per-class exchangeabilities & base freqs -----------------
+        if self.is_mixture:
+            S = jnp.stack([jnp.asarray(s) for s, _ in self.components])
+            comp_pi = jnp.stack(
+                [jnp.asarray(p_) for _, p_ in self.components]
+            )
+        elif self.datatype == "aa":
+            S_np, pi_np = matrices.empirical_aa(self.name)
+            S = jnp.broadcast_to(jnp.asarray(S_np), (C, ns, ns))
+            comp_pi = jnp.broadcast_to(jnp.asarray(pi_np), (C, ns))
+        else:
+            dparams = dict(params)
+            if self.name == "F84":
+                # lambda recomputed from current freqs & kappa
+                pi_now = self._frequencies(params, None)[0]
+                lam_f84 = _f84_lambda_jnp(pi_now, params["kappa"])
+                dparams["lambda"] = lam_f84
+            cmap = None
+            if self.name == "CUSTOM":
+                cmap_np, _ = dna_mod.parse_custom_string(self.custom_string)
+                cmap = jnp.asarray(cmap_np)
+                dparams["rr"] = jnp.clip(
+                    jnp.exp(params["rr_val"]), RR_MIN, RR_MAX
+                )
+            elif self.name == "GTR":
+                rr6 = jnp.exp(params["rr_val"])
+                rr6 = jnp.clip(rr6 / rr6[5], RR_MIN, RR_MAX)
+                dparams["rr"] = rr6
+            S1 = dna_mod.exchangeabilities(self.name, dparams, cmap)
+            S = jnp.broadcast_to(S1, (C, ns, ns))
+            comp_pi = None
+
+        pi = self._frequencies(params, comp_pi)
+
+        # --- eigensystem (batched over classes) -----------------------
+        lam, V, Vinv = reversible_eigen(S, pi)
+        lam = lam * rates[:, None]  # fold class rate into eigenvalues
+
+        pinv = params.get("pinv", jnp.asarray(0.0))
+        return lam, V, Vinv, pi, w, pinv
+
+
+def _f84_lambda_jnp(pi, kappa):
+    A, C, G, T = pi[0], pi[1], pi[2], pi[3]
+    R, Y = A + G, C + T
+    kappa = jnp.clip(kappa, 1e-5, None)
+    return (Y + (R - Y) / (2.0 * kappa)) / (R - (R - Y) / (2.0 * kappa))
+
+
+def lg4x_model() -> SubstModel:
+    """The LG4X 4-matrix mixture (Le, Dang & Gascuel 2012), matching
+    the reference's examples/lg4x XML setup (4 partitionless classes
+    with free rates and weights)."""
+    comps = [matrices.empirical_aa(n)
+             for n in ("lg4x_1", "lg4x_2", "lg4x_3", "lg4x_4")]
+    return SubstModel(
+        datatype="aa", name="LG4X", n_classes=4, freerate=True,
+        freqs_mode="model", components=comps,
+    )

@@ -1,0 +1,355 @@
+"""The likelihood engine: Felsenstein pruning as one compiled program.
+
+This is the TPU-native replacement for the reference's hot core
+(lk.c:443 Lk, lk.c:1659 Core_Default_Update_Partial_Lk, the SIMD
+kernels avx.c/sse.c, and the per-edge conditional-likelihood storage
+of t_edge).  Design:
+
+  * Topology is *data*: a postorder child table (int32 [n_int, 2]) and
+    a branch-length vector indexed by rooted node.  Every topology of
+    the same taxon count runs the same XLA executable - no recompiles
+    during tree search.
+  * The up (postorder) pass is a `lax.scan` over internal nodes.  Each
+    step combines two child partials (elementwise product), rescales
+    per (class, pattern) with an exact log accumulator (replacing the
+    reference's 2^256-block scheme, utilities.h:493-520 +
+    lk.c:1748-1758), and pushes through the edge's P(t) as an
+    (ns x ns) @ (ns x P) matmul batched over classes - MXU/VPU work
+    with the pattern axis on the 128-lane dimension.
+  * The down (preorder) pass produces, for every node u, the "outside"
+    partial O[u] (the likelihood of all data outside subtree(u),
+    conditional on the state at u's parent, with the stationary
+    distribution folded in at the root).  This generalizes the
+    reference's per-edge p_lk_left/p_lk_rght pairs.
+  * Per-edge eigen-basis dot products d_i = (V^T O)_i (V^-1 up)_i give
+    L_site(t) = sum_i d_i exp(lam_i t) for *every* edge at once -
+    the eigen-LR reparameterization (lk.c:1038 Update_Eigen_Lr,
+    lk.c:655 dLk) vectorized over all edges, which powers the
+    parallel-Newton branch-length optimizer.
+  * Class mixing (Gamma / FreeRate / LG4X mixtures) is a leading axis;
+    the +I invariant fraction mixes at the root exactly as
+    lk.c:820-837.  All per-site logs accumulate in float64.
+
+Sites (patterns) are the sharding axis: all arrays carry the pattern
+dimension last, and `parallel/mesh.py` shards it across devices; the
+only cross-device communication is the final weighted reduction.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from phyml_tpu.io.alignment import Alignment
+from phyml_tpu.models.eigen import pmat
+from phyml_tpu.models.substitution import SubstModel
+
+_PREC = lax.Precision.HIGHEST  # fp32 matmuls must not round to bf16
+
+
+class TreeArrays(NamedTuple):
+    """Device-side topology + branch lengths (see topology.RootedView)."""
+    child: jnp.ndarray   # int32 [n_internal, 2], postorder, last row=root
+    blen: jnp.ndarray    # [n_nodes] edge length to parent (root slot 0)
+
+
+class Partials(NamedTuple):
+    """All per-node conditional likelihoods from one full pass."""
+    clv: jnp.ndarray     # [n_nodes, C, ns, P] normalized below-partials
+    pup: jnp.ndarray     # [n_nodes, C, ns, P] P(t_u) @ clv[u]
+    sc: jnp.ndarray      # [n_nodes, C, P] log-scale of clv/pup
+    out: jnp.ndarray     # [n_nodes, C, ns, P] outside partials O[u]
+    sc_out: jnp.ndarray  # [n_nodes, C, P]
+
+
+def tree_arrays(rv, dtype=jnp.float32) -> TreeArrays:
+    return TreeArrays(
+        child=jnp.asarray(rv.child, dtype=jnp.int32),
+        blen=jnp.asarray(rv.node_blen, dtype=dtype),
+    )
+
+
+class LikelihoodEngine:
+    """Compiled likelihood programs for one (alignment, model) pair."""
+
+    def __init__(
+        self,
+        aln: Alignment,
+        model: SubstModel,
+        dtype=jnp.float32,
+        pattern_pad: int = 128,
+    ):
+        self.aln = aln
+        self.model = model
+        self.dtype = dtype
+        self.n_otu = aln.n_otu
+        self.ns = model.ns
+        self.C = model.n_classes
+        self.n_nodes = 2 * self.n_otu - 1
+        self.n_internal = self.n_otu - 1
+
+        P_raw = aln.n_patterns
+        self.P = max(pattern_pad, int(
+            math.ceil(P_raw / pattern_pad) * pattern_pad
+        ))
+        pad = self.P - P_raw
+
+        tips = np.transpose(aln.partials, (0, 2, 1))  # [n_otu, ns, P_raw]
+        tips = np.pad(tips, ((0, 0), (0, 0), (0, pad)),
+                      constant_values=1.0)
+        self.tips = jnp.asarray(tips, dtype=dtype)
+        self.weights = jnp.asarray(
+            np.pad(aln.weights, (0, pad)), dtype=jnp.float64
+        )
+        inv = np.pad(aln.invariant, (0, pad), constant_values=-1)
+        self.invar_state = jnp.asarray(np.maximum(inv, 0), dtype=jnp.int32)
+        self.invar_ok = jnp.asarray(inv >= 0, dtype=dtype)
+
+        self._tiny = np.finfo(np.float32).tiny if dtype == jnp.float32 \
+            else np.finfo(np.float64).tiny
+
+        # compiled entry points
+        self.loglik = jax.jit(self._loglik)
+        self.loglik_full = jax.jit(self._loglik_full)
+        self.site_logliks = jax.jit(self._site_logliks)
+
+    # ------------------------------------------------------------------
+    # model plumbing
+    # ------------------------------------------------------------------
+    def _system(self, params):
+        lam, V, Vinv, pi, w, pinv = self.model.class_system(params)
+        c = lambda x: jnp.asarray(x, dtype=self.dtype)
+        return c(lam), c(V), c(Vinv), c(pi), c(w), c(pinv)
+
+    def _pmats(self, lam, V, Vinv, blen):
+        """P [n_nodes, C, ns, ns]; class rates are folded into lam."""
+        t = jnp.broadcast_to(blen[:, None], (self.n_nodes, self.C))
+        return pmat(lam, V, Vinv, t.astype(self.dtype))
+
+    # ------------------------------------------------------------------
+    # up (postorder) pass
+    # ------------------------------------------------------------------
+    def _up_pass(self, pmats, child):
+        n, C, ns, P = self.n_otu, self.C, self.ns, self.P
+        dtype = self.dtype
+
+        pup = jnp.zeros((self.n_nodes, C, ns, P), dtype=dtype)
+        clv = jnp.zeros((self.n_nodes, C, ns, P), dtype=dtype)
+        sc = jnp.zeros((self.n_nodes, C, P), dtype=dtype)
+
+        tip_clv = jnp.broadcast_to(
+            self.tips[:, None, :, :], (n, C, ns, P)
+        )
+        pup_tips = jnp.einsum(
+            "ncxy,ncyp->ncxp", pmats[:n], tip_clv, precision=_PREC
+        )
+        pup = pup.at[:n].set(pup_tips)
+        clv = clv.at[:n].set(tip_clv)
+
+        def step(carry, args):
+            pup, clv, sc = carry
+            i, pm = args
+            c0 = child[i, 0]
+            c1 = child[i, 1]
+            u = n + i
+            x = pup[c0] * pup[c1]                       # [C, ns, P]
+            m = jnp.max(x, axis=1, keepdims=True)
+            m = jnp.maximum(m, self._tiny)
+            x = x / m
+            sc_u = sc[c0] + sc[c1] + jnp.log(m[:, 0, :])
+            pup_u = jnp.einsum("cxy,cyp->cxp", pm, x, precision=_PREC)
+            return (
+                pup.at[u].set(pup_u),
+                clv.at[u].set(x),
+                sc.at[u].set(sc_u),
+            ), None
+
+        idx = jnp.arange(self.n_internal)
+        (pup, clv, sc), _ = lax.scan(
+            step, (pup, clv, sc), (idx, pmats[n:])
+        )
+        return pup, clv, sc
+
+    # ------------------------------------------------------------------
+    # down (preorder) pass
+    # ------------------------------------------------------------------
+    def _down_pass(self, pmats, child, pup, sc, pi):
+        n, C, ns, P = self.n_otu, self.C, self.ns, self.P
+        out = jnp.zeros_like(pup)
+        sc_out = jnp.zeros_like(sc)
+
+        r0 = child[-1, 0]
+        r1 = child[-1, 1]
+        pi_b = pi[:, :, None]
+        out = out.at[r0].set(pi_b * pup[r1])
+        sc_out = sc_out.at[r0].set(sc[r1])
+        out = out.at[r1].set(pi_b * pup[r0])
+        sc_out = sc_out.at[r1].set(sc[r0])
+
+        def step(carry, i):
+            out, sc_out = carry
+            u = n + i
+            c0 = child[i, 0]
+            c1 = child[i, 1]
+            grand = jnp.einsum(
+                "cwz,cwp->czp", pmats[u], out[u], precision=_PREC
+            )
+            o0 = grand * pup[c1]
+            o1 = grand * pup[c0]
+            m0 = jnp.maximum(jnp.max(o0, axis=1, keepdims=True), self._tiny)
+            m1 = jnp.maximum(jnp.max(o1, axis=1, keepdims=True), self._tiny)
+            base = sc_out[u]
+            return (
+                out.at[c0].set(o0 / m0).at[c1].set(o1 / m1),
+                sc_out
+                .at[c0].set(base + sc[c1] + jnp.log(m0[:, 0, :]))
+                .at[c1].set(base + sc[c0] + jnp.log(m1[:, 0, :])),
+            ), None
+
+        # reverse preorder: internal nodes except the root row
+        idx = jnp.arange(self.n_internal - 2, -1, -1)
+        (out, sc_out), _ = lax.scan(step, (out, sc_out), idx)
+        return out, sc_out
+
+    # ------------------------------------------------------------------
+    # root reduction
+    # ------------------------------------------------------------------
+    def _inv_lk(self, pi, w):
+        """Per-pattern invariant-site likelihood pi[invar_state]
+        (lk.c:1240), 0 for non-invariant patterns."""
+        pi_mix = jnp.einsum("c,cx->x", w, pi)
+        return pi_mix[self.invar_state] * self.invar_ok
+
+    def _root_site_loglik(self, pup, sc, pi, w, pinv):
+        """log L per pattern [P], mixing classes and +I exactly as the
+        reference root loop (lk.c:767-860 Lk_Core; invariant mix
+        lk.c:820-837: L = (1-p) L_var + p pi[invar])."""
+        root = self.n_nodes - 1
+        lroot = jnp.einsum(
+            "cx,cxp->cp", pi, pup[root], precision=_PREC
+        )
+        lroot = jnp.maximum(lroot, self._tiny)
+        a = jnp.log(w)[:, None] + sc[root] + jnp.log(lroot)  # [C, P]
+        lse = jax.scipy.special.logsumexp(a, axis=0)         # [P]
+        if not self.model.invar:
+            return lse
+        inv_lk = self._inv_lk(pi, w)
+        var_part = jnp.log1p(-pinv) + lse
+        inv_part = jnp.log(jnp.maximum(pinv * inv_lk, self._tiny))
+        return jnp.where(
+            self.invar_ok > 0,
+            jnp.logaddexp(var_part, inv_part),
+            var_part,
+        )
+
+    def _reduce(self, site_loglik):
+        return jnp.sum(
+            site_loglik.astype(jnp.float64) * self.weights
+        )
+
+    # ------------------------------------------------------------------
+    # public computations
+    # ------------------------------------------------------------------
+    def _loglik(self, params, tree: TreeArrays):
+        lam, V, Vinv, pi, w, pinv = self._system(params)
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        pup, _, sc = self._up_pass(pmats, tree.child)
+        site = self._root_site_loglik(pup, sc, pi, w, pinv)
+        return self._reduce(site)
+
+    def _site_logliks(self, params, tree: TreeArrays):
+        lam, V, Vinv, pi, w, pinv = self._system(params)
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        pup, _, sc = self._up_pass(pmats, tree.child)
+        return self._root_site_loglik(pup, sc, pi, w, pinv)
+
+    def _loglik_full(self, params, tree: TreeArrays):
+        """lnL plus all partials (for edge ops / search scoring)."""
+        lam, V, Vinv, pi, w, pinv = self._system(params)
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        pup, clv, sc = self._up_pass(pmats, tree.child)
+        out, sc_out = self._down_pass(pmats, tree.child, pup, sc, pi)
+        site = self._root_site_loglik(pup, sc, pi, w, pinv)
+        lnl = self._reduce(site)
+        return lnl, Partials(clv=clv, pup=pup, sc=sc, out=out,
+                             sc_out=sc_out)
+
+    # ------------------------------------------------------------------
+    # eigen-LR edge machinery (lk.c:1038 / lk.c:655, all edges at once)
+    # ------------------------------------------------------------------
+    def edge_dotprods(self, params, tree: TreeArrays):
+        """Eigen-basis dot products for every edge simultaneously:
+        d [n_nodes, C, ns, P], sc_d [n_nodes, C, P] such that the
+        per-(class, pattern) site likelihood as a function of edge-u's
+        length alone is
+            L_u(t)[c, p] = exp(sc_d[u, c, p]) * sum_i d[u,c,i,p] e^{lam[c,i] t}.
+        The rows for the root and for the zero-length root child are
+        meaningless and must be masked by the caller (they do not
+        correspond to free unrooted edges)."""
+        lam, V, Vinv, pi, w, pinv = self._system(params)
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        pup, clv, sc = self._up_pass(pmats, tree.child)
+        out, sc_out = self._down_pass(pmats, tree.child, pup, sc, pi)
+        b = jnp.einsum("ciy,ncyp->ncip", Vinv, clv, precision=_PREC)
+        a = jnp.einsum("czi,nczp->ncip", V, out, precision=_PREC)
+        d = a * b
+        sc_d = sc_out + sc
+        aux = dict(lam=lam, w=w, pinv=pinv,
+                   inv_lk=self._inv_lk(pi, w) if self.model.invar
+                   else jnp.zeros((self.P,), dtype=self.dtype))
+        return d, sc_d, aux
+
+    def edge_lnl_terms(self, d_n, sc_n, aux, t):
+        """(lnL, dlnL, d2lnL) of the whole tree as a function of ONE
+        edge length t, from that edge's dot products d_n [C, ns, P] and
+        scales sc_n [C, P].  O(C*ns*P), no traversal (the reference's
+        dLk, lk.c:655 + Br_Len_Spline Newton, optimiz.c:2244).
+        Broadcasts: t may be [n_edges] with d_n [n_edges, C, ns, P]."""
+        lam, w, pinv = aux["lam"], aux["w"], aux["pinv"]
+        inv_lk = aux["inv_lk"]
+        lam_b = lam[..., :, :, None]                     # [C, ns, 1]
+        t_b = jnp.asarray(t)[..., None, None, None]      # scalar or [E]
+        e = jnp.exp(lam_b * t_b)
+        s0 = jnp.sum(d_n * e, axis=-2)                   # [..., C, P]
+        s1 = jnp.sum(d_n * lam_b * e, axis=-2)
+        s2 = jnp.sum(d_n * lam_b * lam_b * e, axis=-2)
+
+        m = jnp.max(sc_n, axis=-2, keepdims=True)        # [..., 1, P]
+        ew = w[:, None] * jnp.exp(sc_n - m)              # [..., C, P]
+        A0 = jnp.maximum(jnp.sum(ew * s0, axis=-2), self._tiny)
+        A1 = jnp.sum(ew * s1, axis=-2)
+        A2 = jnp.sum(ew * s2, axis=-2)
+        m = m[..., 0, :]                                 # [..., P]
+
+        one_m_p = 1.0 - pinv
+        log_var = jnp.log(one_m_p) + jnp.log(A0) + m if self.model.invar \
+            else jnp.log(A0) + m
+        if self.model.invar:
+            inv_part = jnp.log(jnp.maximum(pinv * inv_lk, self._tiny))
+            site = jnp.where(
+                self.invar_ok > 0,
+                jnp.logaddexp(log_var, inv_part),
+                log_var,
+            )
+        else:
+            site = log_var
+        # d site / dt = (1-p) A1 e^{m - site}; stable in both regimes
+        ratio = one_m_p * jnp.exp(
+            jnp.log(jnp.maximum(jnp.abs(A1), self._tiny)) + m - site
+        ) * jnp.sign(A1)
+        ratio2 = one_m_p * jnp.exp(
+            jnp.log(jnp.maximum(jnp.abs(A2), self._tiny)) + m - site
+        ) * jnp.sign(A2)
+        dln = ratio
+        d2ln = ratio2 - ratio ** 2
+        wts = self.weights
+        lnL = jnp.sum(site.astype(jnp.float64) * wts, axis=-1)
+        dlnL = jnp.sum(dln.astype(jnp.float64) * wts, axis=-1)
+        d2lnL = jnp.sum(d2ln.astype(jnp.float64) * wts, axis=-1)
+        return lnL, dlnL, d2lnL

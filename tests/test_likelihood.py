@@ -1,0 +1,170 @@
+"""Likelihood-engine parity vs golden numbers from the reference
+binary (see tests/golden/, produced by PhyML 3.3 compiled from the
+reference sources) and structural invariants."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phyml_tpu.models.substitution import SubstModel
+from phyml_tpu.ops.likelihood import (
+    LikelihoodEngine, TreeArrays, tree_arrays,
+)
+from phyml_tpu.topology import Topology
+
+# Golden lnL values (reference run configs, tests/golden/*_stats.txt)
+GOLDEN_A = -6172.70828   # JC69, 1 class, BioNJ tree, no optimization
+GOLDEN_B = -5681.81716   # HKY85+G4 kappa=4 alpha=1, same tree
+# tolerance: the golden tree file has 8-decimal branch lengths, which
+# alone shifts lnL by ~1e-4
+TOL = 5e-4
+
+
+@pytest.fixture(scope="module")
+def engines(nucleic):
+    mA = SubstModel(datatype="nt", name="JC69", n_classes=1)
+    mB = SubstModel(datatype="nt", name="HKY85", n_classes=4)
+    return (
+        (mA, LikelihoodEngine(nucleic, mA, dtype=jnp.float64)),
+        (mB, LikelihoodEngine(nucleic, mB, dtype=jnp.float64)),
+    )
+
+
+def test_parity_jc69(engines, nucleic, ref_tree_a):
+    m, eng = engines[0]
+    ta = tree_arrays(ref_tree_a.rooted(), dtype=jnp.float64)
+    lnl = float(eng.loglik(m.init_params(nucleic.obs_state_freqs), ta))
+    assert abs(lnl - GOLDEN_A) < TOL
+
+
+def test_parity_hky_g4(engines, nucleic, ref_tree_a):
+    m, eng = engines[1]
+    ta = tree_arrays(ref_tree_a.rooted(), dtype=jnp.float64)
+    lnl = float(eng.loglik(m.init_params(nucleic.obs_state_freqs), ta))
+    assert abs(lnl - GOLDEN_B) < TOL
+
+
+def test_site_logliks_match_reference_file(engines, nucleic, ref_tree_a):
+    m, eng = engines[0]
+    ta = tree_arrays(ref_tree_a.rooted(), dtype=jnp.float64)
+    site = np.asarray(
+        eng.site_logliks(m.init_params(nucleic.obs_state_freqs), ta)
+    )[nucleic.site_to_pattern]
+    gold = []
+    with open("tests/golden/nucleic_A_phyml_lk.txt") as fh:
+        for line in fh:
+            toks = line.split()
+            if len(toks) >= 2 and toks[0].isdigit():
+                gold.append(float(toks[1]))
+    gold = np.log(np.asarray(gold))
+    assert len(gold) == len(site)
+    # reference file prints 6 significant digits
+    assert np.max(np.abs(site - gold)) < 1e-4
+
+
+def test_loglik_invariant_under_rerooting(engines, nucleic, ref_tree_a):
+    """Pulley principle: lnL must not depend on where the virtual root
+    sits.  Perturb by re-rooting at different tips via tip relabeling
+    of the same unrooted tree."""
+    m, eng = engines[1]
+    params = m.init_params(nucleic.obs_state_freqs)
+    ta = tree_arrays(ref_tree_a.rooted(), dtype=jnp.float64)
+    base = float(eng.loglik(params, ta))
+    # NNI-free equivalent rooting change: swap edge direction by
+    # permuting the edge list order (rooted() picks tip 0's edge, so
+    # renumber which internal node ids come first)
+    t2 = ref_tree_a.copy()
+    t2.edges = t2.edges[::-1].copy()
+    t2.blen = t2.blen[::-1].copy()
+    lnl2 = float(eng.loglik(params, tree_arrays(t2.rooted(),
+                                                dtype=jnp.float64)))
+    assert abs(base - lnl2) < 1e-8
+
+
+def test_pmat_rows_sum_to_one(nucleic):
+    m = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    params = m.init_params(nucleic.obs_state_freqs)
+    lam, V, Vinv, pi, w, pinv = m.class_system(params)
+    from phyml_tpu.models.eigen import pmat
+    t = jnp.full((3, 4), 0.17)
+    P = pmat(lam, V, Vinv, t)
+    assert np.allclose(np.asarray(P).sum(-1), 1.0, atol=1e-10)
+    assert np.all(np.asarray(P) > -1e-12)
+
+
+def test_stationarity(nucleic):
+    """pi Q = 0 and pi P(t) = pi."""
+    m = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    params = m.init_params(nucleic.obs_state_freqs)
+    lam, V, Vinv, pi, w, pinv = m.class_system(params)
+    from phyml_tpu.models.eigen import pmat
+    P = pmat(lam, V, Vinv, jnp.full((1, 1), 0.3))[0, 0]
+    assert np.allclose(np.asarray(pi[0] @ P), np.asarray(pi[0]),
+                       atol=1e-12)
+
+
+def test_gamma_rates_match_reference():
+    """Golden values: PhyML DiscreteGamma(alpha=1, K=4, mean) produces
+    these class rates (stats file 'Relative rate in class')."""
+    from phyml_tpu.models.rates import discrete_gamma
+    rates, probs = discrete_gamma(jnp.asarray(1.0), 4)
+    # PhyML prints: 0.13695 0.47675 0.99991 2.38639 for alpha=1
+    assert np.allclose(
+        np.asarray(rates), [0.13695, 0.47675, 0.99991, 2.38639],
+        atol=2e-4,
+    )
+    assert np.allclose(np.asarray(probs), 0.25)
+    assert abs(float((rates * probs).sum()) - 1.0) < 1e-12
+
+
+def test_mixture_lg4x_classes():
+    from phyml_tpu.models.substitution import lg4x_model
+    m = lg4x_model()
+    params = m.init_params()
+    lam, V, Vinv, pi, w, pinv = m.class_system(params)
+    assert lam.shape == (4, 20)
+    assert np.allclose(np.asarray(w).sum(), 1.0)
+
+
+def test_aa_engine_runs(proteic):
+    m = SubstModel(datatype="aa", name="LG", n_classes=4)
+    eng = LikelihoodEngine(proteic, m, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    topo = Topology.random(proteic.n_otu, rng)
+    lnl = float(eng.loglik(
+        m.init_params(proteic.obs_state_freqs),
+        tree_arrays(topo.rooted(), dtype=jnp.float64),
+    ))
+    assert np.isfinite(lnl) and lnl < 0
+
+
+def test_scaling_deep_tree():
+    """Long branches + many taxa: scaled partials must not underflow
+    even where naive products would be < 1e-300**several."""
+    from phyml_tpu import datatypes
+    from phyml_tpu.io.alignment import compact
+    rng = np.random.default_rng(7)
+    n = 60
+    seqs = ["".join(rng.choice(list("ACGT"), 40)) for _ in range(n)]
+    aln = compact(datatypes.encode_sequences(seqs, "nt"),
+                  [f"t{i}" for i in range(n)], "nt")
+    topo = Topology.random(n, rng, mean_blen=2.5)  # long branches
+    m = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    eng = LikelihoodEngine(aln, m, dtype=jnp.float64)
+    lnl = float(eng.loglik(
+        m.init_params(aln.obs_state_freqs),
+        tree_arrays(topo.rooted(), dtype=jnp.float64),
+    ))
+    assert np.isfinite(lnl)
+
+
+def test_float32_close_to_float64(nucleic, ref_tree_a):
+    m = SubstModel(datatype="nt", name="HKY85", n_classes=4)
+    e64 = LikelihoodEngine(nucleic, m, dtype=jnp.float64)
+    e32 = LikelihoodEngine(nucleic, m, dtype=jnp.float32)
+    p = m.init_params(nucleic.obs_state_freqs)
+    l64 = float(e64.loglik(p, tree_arrays(ref_tree_a.rooted(),
+                                          dtype=jnp.float64)))
+    l32 = float(e32.loglik(p, tree_arrays(ref_tree_a.rooted(),
+                                          dtype=jnp.float32)))
+    assert abs(l64 - l32) / abs(l64) < 1e-5
