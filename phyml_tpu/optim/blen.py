@@ -1,0 +1,116 @@
+"""Branch-length optimization: all edges at once, on device.
+
+The reference optimizes one edge at a time with Newton steps on the
+eigen-LR reparameterized likelihood (Br_Len_Opt optimiz.c:607,
+Br_Len_Spline optimiz.c:2244, dLk lk.c:655), sweeping edges in post-
+order (Optimize_Br_Len_Serie optimiz.c:714).  On TPU a sequential
+sweep wastes the machine; instead each round is:
+
+  1. one up+down pass producing every edge's eigen-basis dot products
+     (LikelihoodEngine.edge_dotprods - the vectorized Update_Eigen_Lr),
+  2. a fixed number of safeguarded Newton iterations on ALL edge
+     lengths in parallel (each edge maximizing the tree likelihood as
+     a function of its own length, others held fixed - block-Jacobi),
+  3. a global backtracking line search toward the previous lengths if
+     the joint update overshot (the reference instead error-exits on
+     non-monotonicity, optimiz.c:656-661; Jacobi coupling makes a
+     safeguard mandatory here).
+
+Rounds repeat until the gain is below tol.  Each round costs ~3 full
+likelihood passes regardless of edge count, vs n_edges passes for the
+reference's sweep.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from phyml_tpu.ops.likelihood import TreeArrays
+
+BL_MIN = 1e-8   # utilities.h:483
+BL_MAX = 100.0  # utilities.h:484
+_N_NEWTON = 10
+_MAX_BACKTRACK = 15
+
+
+def _make_blen_round(engine):
+    """Build the compiled one-round update for this engine."""
+
+    def newton_all_edges(d, sc_d, aux, t0, mask):
+        def body(_, t):
+            _, d1, d2 = engine.edge_lnl_terms(d, sc_d, aux, t)
+            newton = t - d1 / jnp.where(d2 < 0, d2, -1.0)
+            # fall back to a multiplicative probe when curvature is
+            # useless; clamp each step to a factor-of-3 move
+            probe = jnp.where(d1 > 0, t * 3.0, t / 3.0)
+            t_new = jnp.where(d2 < -1e-12, newton, probe)
+            t_new = jnp.clip(t_new, t / 3.0, t * 3.0)
+            t_new = jnp.clip(t_new, BL_MIN, BL_MAX)
+            return jnp.where(mask, t_new, t0)
+
+        return lax.fori_loop(0, _N_NEWTON, body, jnp.where(mask, t0, t0))
+
+    def round_fn(params, tree: TreeArrays, lnl0):
+        d, sc_d, aux = engine.edge_dotprods(params, tree)
+        n_nodes = engine.n_nodes
+        idx = jnp.arange(n_nodes)
+        root = n_nodes - 1
+        zero_child = tree.child[-1, 1]  # root's zero-length side
+        mask = (idx != root) & (idx != zero_child)
+
+        t0 = tree.blen
+        t1 = newton_all_edges(d, sc_d, aux, jnp.clip(t0, BL_MIN, BL_MAX),
+                              mask)
+        t1 = jnp.where(mask, t1, t0)
+
+        def lnl_at(t):
+            return engine._loglik(params, TreeArrays(tree.child, t))
+
+        def cond(state):
+            t, lnl, k = state
+            return (lnl < lnl0) & (k < _MAX_BACKTRACK)
+
+        def back(state):
+            t, _, k = state
+            t = jnp.where(mask, 0.5 * (t + t0), t0)
+            return t, lnl_at(t), k + 1
+
+        t_fin, lnl_fin, _ = lax.while_loop(
+            cond, back, (t1, lnl_at(t1), jnp.asarray(0))
+        )
+        # final guard: never return a worse tree than we started with
+        worse = lnl_fin < lnl0
+        t_fin = jnp.where(worse, t0, t_fin)
+        lnl_fin = jnp.where(worse, lnl0, lnl_fin)
+        return TreeArrays(tree.child, t_fin), lnl_fin
+
+    return jax.jit(round_fn)
+
+
+def optimize_branch_lengths(
+    engine,
+    params,
+    tree: TreeArrays,
+    tol: float = 1e-4,
+    max_rounds: int = 32,
+):
+    """Maximize lnL over all branch lengths; returns (tree, lnL).
+
+    tol: stop when a full parallel-Newton round gains less than this
+    many log units (reference default min_diff_lk_local = 1e-5 with
+    per-edge Brent tolerances much looser).
+    """
+    fn = getattr(engine, "_blen_round_fn", None)
+    if fn is None:
+        fn = _make_blen_round(engine)
+        engine._blen_round_fn = fn
+    lnl = engine.loglik(params, tree)
+    for _ in range(max_rounds):
+        tree, lnl_new = fn(params, tree, lnl)
+        gain = float(lnl_new) - float(lnl)
+        lnl = lnl_new
+        if gain < tol:
+            break
+    return tree, float(lnl)

@@ -1,0 +1,140 @@
+"""Coordinate-ascent parameter optimization (Round_Optimize).
+
+Mirrors the reference's outer loop (optimiz.c:669 Round_Optimize:
+alternate branch-length optimization with model-parameter
+optimization until the gain stalls) and its per-parameter Brent
+searches (Optimiz_All_Free_Param optimiz.c:962).  Parameter bounds
+follow utilities.h: TSTV in [0.05, 100], ALPHA in [0.01, 1000],
+PINV in [1e-5, 0.99999], RR in [1e-4, 1e4].
+
+Positive parameters are searched in log space; pinv in logit space;
+FreeRate raws and frequency logits unconstrained.  Each Brent
+evaluation is one compiled likelihood call on device.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from phyml_tpu.optim.blen import optimize_branch_lengths
+from phyml_tpu.optim.brent import brent_maximize
+
+
+def _logit(p):
+    return math.log(p / (1.0 - p))
+
+
+def _inv_logit(x):
+    return 1.0 / (1.0 + math.exp(-x))
+
+
+def free_scalar_slots(model, params):
+    """List of (name, index_or_None, transform, lo, hi) Brent slots.
+    transform maps the searched variable -> parameter value."""
+    slots = []
+    exp = math.exp
+    if model.optimize_kappa and "kappa" in params:
+        slots.append(("kappa", None, exp,
+                      math.log(0.05), math.log(100.0)))
+    if model.optimize_kappa and "lambda" in params:
+        slots.append(("lambda", None, exp,
+                      math.log(0.01), math.log(100.0)))
+    if model.optimize_rr and "rr_val" in params:
+        n_rr = int(np.asarray(params["rr_val"]).shape[0])
+        # last rate is the normalizer (G<->T for GTR); keep it fixed
+        for i in range(n_rr - 1):
+            slots.append(("rr_val", i, lambda x: x,
+                          math.log(1e-4), math.log(1e4)))
+    if model.optimize_alpha and "alpha" in params:
+        slots.append(("alpha", None, exp,
+                      math.log(0.01), math.log(1000.0)))
+    if model.optimize_pinv and "pinv" in params:
+        slots.append(("pinv", None, _inv_logit,
+                      _logit(1e-5), _logit(0.99)))
+    if "class_rates_raw" in params:
+        n = int(np.asarray(params["class_rates_raw"]).shape[0])
+        for i in range(n):
+            slots.append(("class_rates_raw", i, lambda x: x, -7.0, 7.0))
+        for i in range(n - 1):
+            # weights are softmax-normalized; fix the last logit
+            slots.append(("class_weights_raw", i, lambda x: x,
+                          -9.0, 9.0))
+    if "freqs_raw" in params:
+        n = int(np.asarray(params["freqs_raw"]).shape[0])
+        for i in range(n - 1):
+            slots.append(("freqs_raw", i, lambda x: x, -9.0, 9.0))
+    return slots
+
+
+def _get(params, name, idx):
+    v = np.asarray(params[name])
+    return float(v) if idx is None else float(v[idx])
+
+
+def _set(params, name, idx, value):
+    p = dict(params)
+    if idx is None:
+        p[name] = jnp.asarray(value, dtype=jnp.result_type(params[name]))
+    else:
+        p[name] = jnp.asarray(params[name]).at[idx].set(value)
+    return p
+
+
+def optimize_scalars(engine, model, params, tree, lnl0=None,
+                     brent_tol: float = 1e-3):
+    """One pass of per-parameter Brent searches; returns (params, lnL)."""
+    lnl = float(engine.loglik(params, tree)) if lnl0 is None else lnl0
+    for name, idx, tf, lo, hi in free_scalar_slots(model, params):
+        cur = _get(params, name, idx)
+        # invert the transform at the current value for the start point
+        if tf is math.exp:
+            x0 = math.log(max(cur, 1e-12))
+        elif tf is _inv_logit:
+            x0 = _logit(min(max(cur, 1e-6), 1.0 - 1e-6))
+        else:
+            x0 = cur
+
+        def f(x, _name=name, _idx=idx, _tf=tf):
+            return float(engine.loglik(_set(params, _name, _idx, _tf(x)),
+                                       tree))
+
+        x, fx = brent_maximize(f, lo, hi, tol=brent_tol, x0=x0)
+        if fx > lnl:
+            params = _set(params, name, idx, tf(x))
+            lnl = fx
+    return params, lnl
+
+
+def round_optimize(
+    engine,
+    model,
+    params,
+    tree,
+    opt_blen: bool = True,
+    opt_params: bool = True,
+    tol: float = 1e-3,
+    max_rounds: int = 20,
+    blen_tol: float = 1e-4,
+    verbose: bool = False,
+):
+    """Alternate branch-length and model-parameter optimization until
+    a full round gains < tol log units (Round_Optimize optimiz.c:669).
+    Returns (params, tree, lnL)."""
+    lnl = float(engine.loglik(params, tree))
+    for it in range(max_rounds):
+        start = lnl
+        if opt_blen:
+            tree, lnl = optimize_branch_lengths(
+                engine, params, tree, tol=blen_tol
+            )
+        if opt_params:
+            params, lnl = optimize_scalars(engine, model, params, tree,
+                                           lnl0=lnl)
+        if verbose:
+            print(f"  round {it}: lnL {lnl:.5f}")
+        if lnl - start < tol:
+            break
+    return params, tree, lnl
