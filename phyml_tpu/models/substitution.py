@@ -142,8 +142,13 @@ class SubstModel:
         # 'model': per-component table frequencies
         return comp_pi
 
-    def class_system(self, params: dict):
-        """params -> (lam, V, Vinv, pi, w, pinv), all jnp."""
+    def class_system(self, params: dict, fold_rates: bool = True):
+        """params -> (lam, V, Vinv, pi, w, pinv), all jnp.
+
+        fold_rates=False returns the unit-mean-rate eigenvalues
+        (used by ML pairwise distances, which the reference computes
+        with the discrete-gamma distribution disabled, lk.c:1817-1824).
+        """
         C, ns = self.n_classes, self.ns
 
         # --- per-class rates & weights -------------------------------
@@ -195,7 +200,8 @@ class SubstModel:
 
         # --- eigensystem (batched over classes) -----------------------
         lam, V, Vinv = reversible_eigen(S, pi)
-        lam = lam * rates[:, None]  # fold class rate into eigenvalues
+        if fold_rates:
+            lam = lam * rates[:, None]  # fold class rate into eigenvalues
 
         pinv = params.get("pinv", jnp.asarray(0.0))
         return lam, V, Vinv, pi, w, pinv

@@ -1,0 +1,60 @@
+"""Search drivers: NNI hill-climb (Simu_Loop) and full ML pipeline.
+
+Reference flow (simu.c:22 Simu_Loop): repeat { NNI rounds until no
+swap improves } alternated with model-parameter optimization until
+the joint gain stalls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from phyml_tpu.ops.likelihood import tree_arrays
+from phyml_tpu.optim.round import optimize_scalars, round_optimize
+from phyml_tpu.search.nni import nni_round
+
+
+def nni_search(
+    engine,
+    model,
+    params,
+    topo,
+    opt_params: bool = True,
+    tol: float = 1e-3,
+    max_outer: int = 20,
+    max_inner: int = 50,
+    verbose: bool = False,
+):
+    """NNI topology search with interleaved parameter optimization.
+    Returns (topo, params, lnL)."""
+    lnl = -np.inf
+    for outer in range(max_outer):
+        # inner NNI loop until no improving swap
+        for _ in range(max_inner):
+            topo, lnl_new, n_swaps = nni_round(engine, params, topo)
+            if verbose:
+                print(f"  nni: lnL {lnl_new:.5f} ({n_swaps} swaps)")
+            if n_swaps == 0:
+                break
+        if opt_params:
+            rv = topo.rooted()
+            params, ta, lnl_new = round_optimize(
+                engine, model, params,
+                tree_arrays(rv, dtype=engine.dtype), max_rounds=3,
+            )
+            topo.set_blen_from_rooted(rv, np.asarray(ta.blen))
+            if verbose:
+                print(f"  params: lnL {lnl_new:.5f}")
+        if lnl_new - lnl < tol:
+            lnl = max(lnl, lnl_new)
+            break
+        lnl = lnl_new
+    # final branch-length + parameter polish
+    params, ta, lnl = round_optimize(
+        engine, model, params,
+        tree_arrays(topo.rooted(), dtype=engine.dtype),
+        opt_params=opt_params,
+    )
+    rv = topo.rooted()
+    topo.set_blen_from_rooted(rv, np.asarray(ta.blen))
+    return topo, params, lnl

@@ -42,6 +42,8 @@ class RootedView:
     parent: np.ndarray       # int32 [n_nodes] (root -> itself)
     node_blen: np.ndarray    # float64 [n_nodes] edge length to parent
     node_to_edge: np.ndarray  # int32 [n_nodes] unrooted edge id or -1
+    unrooted_id: np.ndarray   # int32 [n_nodes] unrooted node id
+    #                           (-1 for the virtual root)
 
     @property
     def n_nodes(self) -> int:
@@ -178,9 +180,14 @@ class Topology:
 
         child = np.asarray(child_rows, dtype=np.int32)
         assert child.shape == (n - 1, 2)
+        unrooted_id = np.full(n_nodes, -1, dtype=np.int32)
+        for uu in range(self.n_nodes_unrooted):
+            if rooted_id[uu] >= 0:
+                unrooted_id[rooted_id[uu]] = uu
         return RootedView(
             n_otu=n, child=child, parent=parent,
             node_blen=node_blen, node_to_edge=node_to_edge,
+            unrooted_id=unrooted_id,
         )
 
     def _assign_iterative(
@@ -252,6 +259,25 @@ class Topology:
         # exchange subtrees a and b across the edge
         t.edges[ea] = [u, b]
         t.edges[eb] = [v, a]
+        t.validate()
+        return t
+
+    def swap_across(
+        self, ea: int, na: int, eb: int, nb: int
+    ) -> "Topology":
+        """Exchange the subtree hanging at endpoint `na` of edge `ea`
+        with the subtree at endpoint `nb` of edge `eb` (an NNI when ea
+        and eb are the two side edges of an internal edge).  Endpoint
+        ids are unrooted node ids.  Each subtree carries its pendant
+        branch length with it (reference Swap utilities.c:2115 moves
+        nodes, keeping each subtree's edge length attached)."""
+        t = self.copy()
+        a0, a1 = (int(x) for x in t.edges[ea])
+        b0, b1 = (int(x) for x in t.edges[eb])
+        assert na in (a0, a1) and nb in (b0, b1)
+        t.edges[ea] = [a0 if a1 == na else a1, nb]
+        t.edges[eb] = [b0 if b1 == nb else b1, na]
+        t.blen[ea], t.blen[eb] = t.blen[eb], t.blen[ea]
         t.validate()
         return t
 
