@@ -135,7 +135,14 @@ class LikelihoodEngine:
     # ------------------------------------------------------------------
     # up (postorder) pass
     # ------------------------------------------------------------------
-    def _up_pass(self, pmats, child):
+    def _up_pass(self, pmats, child, mask=None):
+        """mask (optional) [n_internal, 2] in {0., 1.}: a 1 makes the
+        corresponding child contribute a unit factor, i.e. the node
+        behaves as if that child subtree were pruned.  Because P
+        matrices of the same Q compose (P(a)P(b) = P(a+b)), the
+        resulting partials are exactly those of the healed tree with
+        the two link edges merged - the device-side equivalent of the
+        reference's Prune_Subtree (utilities.c:6152)."""
         n, C, ns, P = self.n_otu, self.C, self.ns, self.P
         dtype = self.dtype
 
@@ -158,11 +165,21 @@ class LikelihoodEngine:
             c0 = child[i, 0]
             c1 = child[i, 1]
             u = n + i
-            x = pup[c0] * pup[c1]                       # [C, ns, P]
+            if mask is None:
+                p0, p1 = pup[c0], pup[c1]
+                s0, s1 = sc[c0], sc[c1]
+            else:
+                m0 = mask[i, 0]
+                m1 = mask[i, 1]
+                p0 = pup[c0] * (1.0 - m0) + m0
+                p1 = pup[c1] * (1.0 - m1) + m1
+                s0 = sc[c0] * (1.0 - m0)
+                s1 = sc[c1] * (1.0 - m1)
+            x = p0 * p1                                 # [C, ns, P]
             m = jnp.max(x, axis=1, keepdims=True)
             m = jnp.maximum(m, self._tiny)
             x = x / m
-            sc_u = sc[c0] + sc[c1] + jnp.log(m[:, 0, :])
+            sc_u = s0 + s1 + jnp.log(m[:, 0, :])
             pup_u = jnp.einsum("cxy,cyp->cxp", pm, x, precision=_PREC)
             return (
                 pup.at[u].set(pup_u),
@@ -179,7 +196,9 @@ class LikelihoodEngine:
     # ------------------------------------------------------------------
     # down (preorder) pass
     # ------------------------------------------------------------------
-    def _down_pass(self, pmats, child, pup, sc, pi):
+    def _down_pass(self, pmats, child, pup, sc, pi, mask=None):
+        """Outside partials; `mask` as in _up_pass (a masked child's
+        sibling sees a unit factor in place of the masked subtree)."""
         n, C, ns, P = self.n_otu, self.C, self.ns, self.P
         out = jnp.zeros_like(pup)
         sc_out = jnp.zeros_like(sc)
@@ -197,19 +216,31 @@ class LikelihoodEngine:
             u = n + i
             c0 = child[i, 0]
             c1 = child[i, 1]
+            if mask is None:
+                p0, p1 = pup[c0], pup[c1]
+                s0, s1 = sc[c0], sc[c1]
+            else:
+                m0 = mask[i, 0]
+                m1 = mask[i, 1]
+                p0 = pup[c0] * (1.0 - m0) + m0
+                p1 = pup[c1] * (1.0 - m1) + m1
+                s0 = sc[c0] * (1.0 - m0)
+                s1 = sc[c1] * (1.0 - m1)
             grand = jnp.einsum(
                 "cwz,cwp->czp", pmats[u], out[u], precision=_PREC
             )
-            o0 = grand * pup[c1]
-            o1 = grand * pup[c0]
-            m0 = jnp.maximum(jnp.max(o0, axis=1, keepdims=True), self._tiny)
-            m1 = jnp.maximum(jnp.max(o1, axis=1, keepdims=True), self._tiny)
+            o0 = grand * p1
+            o1 = grand * p0
+            m0_ = jnp.maximum(jnp.max(o0, axis=1, keepdims=True),
+                              self._tiny)
+            m1_ = jnp.maximum(jnp.max(o1, axis=1, keepdims=True),
+                              self._tiny)
             base = sc_out[u]
             return (
-                out.at[c0].set(o0 / m0).at[c1].set(o1 / m1),
+                out.at[c0].set(o0 / m0_).at[c1].set(o1 / m1_),
                 sc_out
-                .at[c0].set(base + sc[c1] + jnp.log(m0[:, 0, :]))
-                .at[c1].set(base + sc[c0] + jnp.log(m1[:, 0, :])),
+                .at[c0].set(base + s1 + jnp.log(m0_[:, 0, :]))
+                .at[c1].set(base + s0 + jnp.log(m1_[:, 0, :])),
             ), None
 
         # reverse preorder: internal nodes except the root row

@@ -12,6 +12,7 @@ import numpy as np
 from phyml_tpu.ops.likelihood import tree_arrays
 from phyml_tpu.optim.round import optimize_scalars, round_optimize
 from phyml_tpu.search.nni import nni_round
+from phyml_tpu.search.spr import spr_round
 
 
 def nni_search(
@@ -58,3 +59,46 @@ def nni_search(
     rv = topo.rooted()
     topo.set_blen_from_rooted(rv, np.asarray(ta.blen))
     return topo, params, lnl
+
+
+def spr_search(
+    engine,
+    model,
+    params,
+    topo,
+    opt_params: bool = True,
+    tol: float = 1e-2,
+    max_outer: int = 15,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """SPR topology search with interleaved parameter optimization and
+    a final NNI polish (reference: Global_Spr_Search spr.c:764, which
+    runs SPR rounds then Check_NNI_Five_Branches).
+    Returns (topo, params, lnL)."""
+    rng = np.random.default_rng(seed)
+    lnl = -np.inf
+    for outer in range(max_outer):
+        topo, lnl_spr, n_moves = spr_round(
+            engine, params, topo, rng=rng
+        )
+        if verbose:
+            print(f"  spr: lnL {lnl_spr:.5f} ({n_moves} moves)")
+        rv = topo.rooted()
+        params, ta, lnl_new = round_optimize(
+            engine, model, params,
+            tree_arrays(rv, dtype=engine.dtype),
+            opt_params=opt_params, max_rounds=3,
+        )
+        topo.set_blen_from_rooted(rv, np.asarray(ta.blen))
+        if verbose:
+            print(f"  params: lnL {lnl_new:.5f}")
+        if n_moves == 0 and lnl_new - lnl < tol:
+            lnl = max(lnl, lnl_new)
+            break
+        lnl = lnl_new
+    # NNI polish + final joint optimization
+    return nni_search(
+        engine, model, params, topo,
+        opt_params=opt_params, verbose=verbose,
+    )

@@ -1,0 +1,260 @@
+"""SPR search: exact all-target regraft scoring from one masked pass.
+
+The reference's SPR cycle (spr.c:136 Spr, :226 Spr_Subtree, :369
+Test_All_Spr_Targets) prunes a subtree, walks candidate regraft edges
+out to a depth bound, and rescopes each by updating partials along the
+path.  The TPU-native scheme here replaces the walk with closed-form
+batch scoring:
+
+  * "Prune" is a mask, not surgery: the likelihood pass treats the
+    pruned child as a unit factor, which (because P(a)P(b) = P(a+b))
+    yields exactly the healed tree's inside partials I_e and outside
+    partials O_e at EVERY edge in one up+down pass.
+  * Inserting the pruned subtree (root partial clv_p, pendant length
+    t_p) into edge e, splitting its length t_e into halves, scores as
+
+      L(e, t_p) = sum_i (Vinv clv_p)_i (V^T M_e)_i exp(lam_i t_p),
+      M_e = (P(t_e/2)^T O_e) . (P(t_e/2) I_e)
+
+    for ALL edges e simultaneously - one batched einsum, followed by
+    vectorized Newton on every target's pendant length t_p.
+  * Regrafting onto the pruned edge's two remnant half-edges scores
+    the current topology, so "best target" >= "stay" falls out of the
+    same computation; no special-cased current-tree likelihood.
+
+A sweep visits every prunable subtree in random order (reference
+randomizes edge order too, spr.c:764) and applies each improving move
+immediately.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phyml_tpu.models.eigen import pmat
+from phyml_tpu.ops.likelihood import TreeArrays, tree_arrays
+from phyml_tpu.optim.blen import BL_MIN, BL_MAX
+
+_N_NEWTON = 12
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _make_spr_scorer(engine):
+    def newton_1d(d, sc_d, aux, t, iters):
+        def body(_, t):
+            _, d1, d2 = engine.edge_lnl_terms(d, sc_d, aux, t)
+            newton = t - d1 / jnp.where(d2 < 0, d2, -1.0)
+            probe = jnp.where(d1 > 0, t * 3.0, t / 3.0)
+            tn = jnp.where(d2 < -1e-12, newton, probe)
+            tn = jnp.clip(tn, t / 3.0, t * 3.0)
+            return jnp.clip(tn, BL_MIN, BL_MAX)
+        return jax.lax.fori_loop(0, iters, body, t)
+
+    def scorer(params, tree: TreeArrays, mask, v, valid):
+        lam, V, Vinv, pi, w, pinv = engine._system(params)
+        pmats = engine._pmats(lam, V, Vinv,
+                              tree.blen.astype(engine.dtype))
+        pup, clv, sc = engine._up_pass(pmats, tree.child, mask)
+        out, sc_out = engine._down_pass(pmats, tree.child, pup, sc, pi,
+                                        mask)
+
+        aux = dict(
+            lam=lam, w=w, pinv=pinv,
+            inv_lk=engine._inv_lk(pi, w) if engine.model.invar
+            else jnp.zeros((engine.P,), dtype=engine.dtype),
+        )
+        C = engine.C
+        sc_base = sc + sc_out + sc[v][None]           # [N, C, P]
+        P_v = clv[v]                                  # [C, ns, P]
+
+        def P_of(t):
+            return pmat(lam, V, Vinv,
+                        jnp.broadcast_to(t[:, None].astype(engine.dtype),
+                                         (engine.n_nodes, C)))
+
+        def dots(x, y):
+            """d such that sum_i d_i e^{lam_i t} = sum_z y . P(t) x,
+            batched over targets."""
+            bx = jnp.einsum("ciy,ecyp->ecip", Vinv, x, precision=_PREC)
+            ay = jnp.einsum("czi,eczp->ecip", V, y, precision=_PREC)
+            return ay * bx
+
+        # "triple" optimization (reference spr.c:1139): coordinate
+        # Newton over (t1 inside-half, t2 outside-half, tp pendant)
+        # for every target edge at once
+        t1 = jnp.clip(tree.blen * 0.5, BL_MIN, BL_MAX)
+        t2 = jnp.clip(tree.blen * 0.5, BL_MIN, BL_MAX)
+        tp = jnp.clip(
+            jnp.full((engine.n_nodes,), tree.blen[v],
+                     dtype=engine.dtype), BL_MIN, BL_MAX)
+        Pv_b = jnp.broadcast_to(P_v[None], clv.shape)
+
+        def cycle(_, ts):
+            t1, t2, tp = ts
+            I1 = jnp.einsum("ecxy,ecyp->ecxp", P_of(t1), clv,
+                            precision=_PREC)
+            O2 = jnp.einsum("ecwz,ecwp->eczp", P_of(t2), out,
+                            precision=_PREC)
+            # pendant length tp: y = O2 . I1, x = clv_p
+            tp = newton_1d(dots(Pv_b, O2 * I1), sc_base, aux, tp, 6)
+            Pp = jnp.einsum("ecxy,cyp->ecxp", P_of(tp), P_v,
+                            precision=_PREC)
+            # inside half t1: y = O2 . Pp, x = I_e
+            t1 = newton_1d(dots(clv, O2 * Pp), sc_base, aux, t1, 6)
+            I1 = jnp.einsum("ecxy,ecyp->ecxp", P_of(t1), clv,
+                            precision=_PREC)
+            # outside half t2: y = O_e, x = I1 . Pp
+            t2 = newton_1d(dots(I1 * Pp, out), sc_base, aux, t2, 6)
+            return t1, t2, tp
+
+        t1, t2, tp = jax.lax.fori_loop(0, 2, cycle, (t1, t2, tp))
+        I1 = jnp.einsum("ecxy,ecyp->ecxp", P_of(t1), clv,
+                        precision=_PREC)
+        O2 = jnp.einsum("ecwz,ecwp->eczp", P_of(t2), out,
+                        precision=_PREC)
+        lnl, _, _ = engine.edge_lnl_terms(
+            dots(Pv_b, O2 * I1), sc_base, aux, tp
+        )
+        lnl = jnp.where(valid, lnl, -jnp.inf)
+        return lnl, t1, t2, tp
+
+    return jax.jit(scorer)
+
+
+def spr_scores(engine, params, tree: TreeArrays, mask, v, valid):
+    """Per target edge e: exact lnL of regrafting subtree v onto e
+    with the three junction lengths (inside half t1, outside half t2,
+    pendant tp) jointly optimized.  Returns (lnl, t1, t2, tp)."""
+    fn = getattr(engine, "_spr_scorer_fn", None)
+    if fn is None:
+        fn = _make_spr_scorer(engine)
+        engine._spr_scorer_fn = fn
+    lnl, t1, t2, tp = fn(params, tree, jnp.asarray(mask),
+                         jnp.asarray(v, dtype=jnp.int32),
+                         jnp.asarray(valid))
+    return (np.asarray(lnl), np.asarray(t1), np.asarray(t2),
+            np.asarray(tp))
+
+
+def _descendants(rv, v: int) -> np.ndarray:
+    """Boolean [n_nodes]: nodes in subtree(v) inclusive."""
+    n = rv.n_otu
+    below = np.zeros(rv.n_nodes, dtype=bool)
+    below[v] = True
+    # children have lower indices than parents (postorder), so a
+    # downward sweep propagates the flag to the whole subtree
+    for i in range(rv.n_internal - 1, -1, -1):
+        u = n + i
+        if below[u]:
+            below[rv.child[i, 0]] = True
+            below[rv.child[i, 1]] = True
+    return below
+
+
+def prune_candidates(rv) -> list[int]:
+    """Rooted nodes whose subtree can be pruned: everything except the
+    root and its two children (pruning a root child is re-rooting)."""
+    r0, r1 = (int(x) for x in rv.child[-1])
+    return [x for x in range(rv.n_nodes - 1) if x not in (r0, r1)]
+
+
+def spr_move_arrays(rv, v: int):
+    """(mask [n_int, 2], valid [n_nodes]) for pruning subtree v."""
+    n = rv.n_otu
+    u = int(rv.parent[v])
+    i_u = u - n
+    slot = 0 if int(rv.child[i_u, 0]) == v else 1
+    mask = np.zeros((rv.n_internal, 2), dtype=np.float32)
+    mask[i_u, slot] = 1.0
+    below = _descendants(rv, v)
+    valid = ~below
+    valid[rv.n_nodes - 1] = False        # root has no edge
+    # the zero-length root child duplicates the root edge (the tip-0
+    # side carries the full length); scoring it would use a different
+    # split point than apply_spr produces
+    valid[int(rv.child[-1, 1])] = False
+    valid[u] = True                      # remnant half-edge: "stay"
+    valid[v] = False
+    return mask, valid
+
+
+def apply_spr(topo, rv, v: int, target: int, t1: float, t2: float,
+              t_p: float):
+    """Host surgery: regraft subtree v onto target's edge.  t1 is the
+    inside (child-of-target) half, t2 the outside half, t_p the
+    pruned pendant edge length."""
+    uid = rv.unrooted_id
+    u = int(rv.parent[v])
+    prune_edge = int(rv.node_to_edge[v])
+    # which endpoint of prune_edge is the link (= u's unrooted id)?
+    link_unrooted = int(uid[u])
+    e0, e1 = (int(x) for x in topo.edges[prune_edge])
+    # side indexes the MOVING subtree's endpoint; link sits at side^1
+    side = 0 if e1 == link_unrooted else 1
+    assert topo.edges[prune_edge][side ^ 1] == link_unrooted
+    regraft_edge = int(rv.node_to_edge[target])
+    inside_unrooted = int(uid[target])
+    p_end = int(topo.edges[regraft_edge][0])
+    new, ey = topo.spr(prune_edge, side, regraft_edge,
+                       return_new_edge=True)
+    # regraft_edge now carries (p, link); ey carries (link, q);
+    # the inside node sat at endpoint p or q of the original edge
+    if p_end == inside_unrooted:
+        e_in, e_out = regraft_edge, ey
+    else:
+        e_in, e_out = ey, regraft_edge
+    new.blen[e_in] = float(np.clip(t1, BL_MIN, BL_MAX))
+    new.blen[e_out] = float(np.clip(t2, BL_MIN, BL_MAX))
+    new.blen[prune_edge] = float(np.clip(t_p, BL_MIN, BL_MAX))
+    return new
+
+
+def spr_round(
+    engine,
+    params,
+    topo,
+    min_gain: float = 1e-3,
+    rng: np.random.Generator | None = None,
+):
+    """One SPR sweep: every prunable subtree in random order, best
+    regraft applied immediately when it beats the current tree by
+    min_gain.  Returns (topo, lnL, n_applied)."""
+    rng = rng or np.random.default_rng(0)
+    n_applied = 0
+    rv = topo.rooted()
+    ta = tree_arrays(rv, dtype=engine.dtype)
+    lnl_cur = float(engine.loglik(params, ta))
+    order = rng.permutation(prune_candidates(rv))
+    for v in order:
+        v = int(v)
+        # the rooted view changes after each applied move; rebuild
+        if rv is None:
+            rv = topo.rooted()
+            ta = tree_arrays(rv, dtype=engine.dtype)
+            cands = set(prune_candidates(rv))
+            if v not in cands:
+                continue
+        if int(rv.parent[v]) == rv.n_nodes - 1:
+            continue
+        mask, valid = spr_move_arrays(rv, v)
+        lnl_t, t1, t2, tp = spr_scores(engine, params, ta, mask, v,
+                                       valid)
+        best = int(np.argmax(lnl_t))
+        u = int(rv.parent[v])
+        s_row = rv.child[u - rv.n_otu]
+        sib = int(s_row[1] if int(s_row[0]) == v else s_row[0])
+        # the link's two remaining unrooted edges are "stay" targets
+        # (compare edge ids: several rooted nodes can share an edge)
+        link_edges = {int(rv.node_to_edge[u]), int(rv.node_to_edge[sib])}
+        if int(rv.node_to_edge[best]) in link_edges:
+            continue  # best position is the current one
+        if lnl_t[best] - lnl_cur < min_gain:
+            continue
+        topo = apply_spr(topo, rv, v, best, float(t1[best]),
+                         float(t2[best]), float(tp[best]))
+        lnl_cur = float(lnl_t[best])
+        n_applied += 1
+        rv = None  # force rebuild
+    return topo, lnl_cur, n_applied

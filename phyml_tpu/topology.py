@@ -283,7 +283,7 @@ class Topology:
 
     def spr(
         self, prune_edge: int, prune_side: int, regraft_edge: int,
-        regraft_frac: float = 0.5,
+        regraft_frac: float = 0.5, return_new_edge: bool = False,
     ) -> "Topology":
         """Subtree-prune-regraft (reference: Prune_Subtree
         utilities.c:6152 + Graft_Subtree utilities.c:6539).
@@ -319,6 +319,9 @@ class Topology:
         t.edges[ey] = [link, q]
         t.blen[ey] = old_len * (1.0 - regraft_frac)
         t.validate()
+        if return_new_edge:
+            # regraft_edge now holds (p, link); ey holds (link, q)
+            return t, ey
         return t
 
     # ------------------------------------------------------------------

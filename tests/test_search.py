@@ -1,0 +1,112 @@
+"""Topology search: scorer exactness and full-search parity.
+
+Golden targets (tests/golden/): config E/F = GTR+G4 on examples/
+nucleic with NNI/SPR search, reference lnL -5382.35991.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phyml_tpu.models.substitution import SubstModel
+from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+from phyml_tpu.search.bionj import bionj, bionj_start
+from phyml_tpu.search.nni import (
+    candidate_arrays, nni_scores, _apply_swaps,
+)
+from phyml_tpu.search.spr import (
+    apply_spr, spr_move_arrays, spr_scores,
+)
+
+GOLDEN_EF = -5382.35991
+
+
+@pytest.fixture(scope="module")
+def gtr_setup(nucleic, ref_tree_a):
+    m = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    eng = LikelihoodEngine(nucleic, m, dtype=jnp.float64)
+    p = m.init_params(nucleic.obs_state_freqs)
+    return m, eng, p, ref_tree_a
+
+
+def test_nni_scorer_matches_direct_evaluation(gtr_setup):
+    m, eng, p, topo = gtr_setup
+    rv = topo.rooted()
+    ta = tree_arrays(rv, dtype=jnp.float64)
+    cand = candidate_arrays(rv)
+    lnl_cfg, t_opt = nni_scores(eng, p, ta, cand)
+    for ei, cfg in ((3, 1), (20, 2)):
+        t2 = _apply_swaps(topo.copy(), rv, cand, [(ei, cfg)], t_opt)
+        direct = float(eng.loglik(
+            p, tree_arrays(t2.rooted(), dtype=jnp.float64)
+        ))
+        assert abs(lnl_cfg[ei, cfg] - direct) < 1e-8
+
+
+def test_spr_scorer_matches_direct_evaluation(gtr_setup):
+    m, eng, p, topo = gtr_setup
+    rv = topo.rooted()
+    ta = tree_arrays(rv, dtype=jnp.float64)
+    for v in (5, 60):
+        mask, valid = spr_move_arrays(rv, v)
+        lnl_t, t1, t2, tp = spr_scores(eng, p, ta, mask, v, valid)
+        u = int(rv.parent[v])
+        srow = rv.child[u - rv.n_otu]
+        sib = int(srow[1] if int(srow[0]) == v else srow[0])
+        targets = [t for t in np.where(valid)[0] if t not in (u, sib)]
+        for t in (targets[0], targets[-1]):
+            new = apply_spr(topo, rv, v, int(t), float(t1[t]),
+                            float(t2[t]), float(tp[t]))
+            direct = float(eng.loglik(
+                p, tree_arrays(new.rooted(), dtype=jnp.float64)
+            ))
+            assert abs(lnl_t[t] - direct) < 1e-8
+
+
+def test_bionj_recovers_reference_start(nucleic, ref_tree_a):
+    m = SubstModel(datatype="nt", name="JC69", n_classes=1)
+    eng = LikelihoodEngine(nucleic, m, dtype=jnp.float64)
+    p = m.init_params(nucleic.obs_state_freqs)
+    topo = bionj_start(eng, p)
+    # close to the reference's BioNJ tree, and at least as good
+    assert topo.rf_distance(ref_tree_a) <= 6
+    l_ours = float(eng.loglik(
+        p, tree_arrays(topo.rooted(), dtype=jnp.float64)))
+    l_ref = float(eng.loglik(
+        p, tree_arrays(ref_tree_a.rooted(), dtype=jnp.float64)))
+    assert l_ours >= l_ref - 1.0
+
+
+def test_bionj_perfect_additive_distances():
+    # distances from a known tree must reconstruct it exactly
+    from phyml_tpu.topology import Topology
+    rng = np.random.default_rng(7)
+    true = Topology.random(12, rng, mean_blen=0.3)
+    adj = true.adjacency()
+    n = 12
+    D = np.zeros((n, n))
+    import collections
+    for s in range(n):
+        dist = {s: 0.0}
+        dq = collections.deque([s])
+        while dq:
+            x = dq.popleft()
+            for (y, e) in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + true.blen[e]
+                    dq.append(y)
+        for t in range(n):
+            D[s, t] = dist[t]
+    rec = bionj(D)
+    assert rec.rf_distance(true) == 0
+
+
+@pytest.mark.slow
+def test_spr_search_reaches_reference_lnl(nucleic):
+    m = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    eng = LikelihoodEngine(nucleic, m, dtype=jnp.float64)
+    p = m.init_params(nucleic.obs_state_freqs)
+    from phyml_tpu.search.driver import spr_search
+    topo = bionj_start(eng, p)
+    topo, p, lnl = spr_search(eng, m, p, topo)
+    assert lnl >= GOLDEN_EF - 0.01
