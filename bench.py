@@ -1,0 +1,159 @@
+"""Benchmark: CLV throughput + branch-length-optimization speedup
+vs the reference PhyML binary on an identical task.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <CLV site-updates/sec/chip>,
+   "unit": "site-updates/s", "vs_baseline": <wall-clock speedup>}
+
+Task (BASELINE.md config-1 scaled up): synthetic GTR+Gamma4 alignment
+(N_TAXA x N_SITES, simulated with phyml_tpu.evolve along a random
+tree), fixed topology, optimize all branch lengths.
+
+  * value: full-likelihood CLV site-updates/sec on this chip, where
+    one site-update = one (internal node, pattern, rate class)
+    partial-CLV update (the ns x ns matvec of lk.c:1659 /
+    avx.c:301).  Measured over repeated jitted evaluations.
+  * vs_baseline: (reference branch-length-optimization wall-clock) /
+    (ours), both excluding setup (reference: -o n run subtracted;
+    ours: compile excluded by warmup).  Reference binary is built
+    from /root/reference by tools/build_reference.sh; its timing is
+    cached in bench_baseline.json keyed by the task config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+N_TAXA = 128
+N_SITES = 4096
+SEED = 20260817
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
+                              "bench_baseline.json")
+REF_BIN = "/tmp/phyml-bin"
+
+
+def _build_problem():
+    import jax.numpy as jnp
+
+    from phyml_tpu.io.alignment import read_alignment
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.evolve import simulate_alignment, write_phylip
+    from phyml_tpu.topology import Topology
+
+    rng = np.random.default_rng(SEED)
+    topo = Topology.random(N_TAXA, rng, mean_blen=0.08)
+    model = SubstModel(datatype="nt", name="GTR", n_classes=4,
+                       freqs_mode="fixed",
+                       fixed_freqs=np.array([0.3, 0.2, 0.3, 0.2]))
+    params = model.init_params()
+    params["rr_val"] = jnp.log(jnp.asarray(
+        [1.2, 3.0, 0.8, 1.1, 4.0, 1.0]))
+    params["alpha"] = jnp.asarray(0.7)
+
+    workdir = "/tmp/phyml_bench"
+    os.makedirs(workdir, exist_ok=True)
+    aln_path = os.path.join(workdir, "bench.phy")
+    tree_path = os.path.join(workdir, "bench.nwk")
+    if not os.path.exists(aln_path):
+        names, seqs = simulate_alignment(topo, model, params, N_SITES,
+                                         rng)
+        write_phylip(aln_path, names, seqs)
+        with open(tree_path, "w") as fh:
+            fh.write(topo.to_newick(names))
+    aln = read_alignment(aln_path, datatype="nt")
+    with open(tree_path) as fh:
+        topo = Topology.from_newick(fh.read(), aln.names)
+    return aln, topo, workdir, aln_path, tree_path
+
+
+def _measure_reference(aln_path, tree_path):
+    """Reference branch-length-optimization seconds (setup-subtracted)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            cache = json.load(fh)
+        if cache.get("config") == [N_TAXA, N_SITES, SEED]:
+            return cache["ref_opt_seconds"]
+    if not os.path.exists(REF_BIN):
+        subprocess.run(
+            ["sh", os.path.join(os.path.dirname(__file__), "tools",
+                                "build_reference.sh"), REF_BIN],
+            check=True, capture_output=True)
+    common = [REF_BIN, "-i", aln_path, "-d", "nt", "-m", "GTR",
+              "-c", "4", "-a", "0.7", "-u", tree_path, "-b", "0",
+              "--no_memory_check", "--leave_duplicates",
+              "-f", "0.3,0.2,0.3,0.2"]
+    times = {}
+    for mode in ("n", "l"):
+        t0 = time.monotonic()
+        subprocess.run(common + ["-o", mode], check=True,
+                       capture_output=True)
+        times[mode] = time.monotonic() - t0
+    ref_opt = max(times["l"] - times["n"], 1e-3)
+    with open(BASELINE_CACHE, "w") as fh:
+        json.dump({"config": [N_TAXA, N_SITES, SEED],
+                   "ref_opt_seconds": ref_opt,
+                   "ref_setup_seconds": times["n"]}, fh)
+    return ref_opt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.optim.blen import optimize_branch_lengths
+
+    aln, topo, workdir, aln_path, tree_path = _build_problem()
+    ref_opt_s = _measure_reference(aln_path, tree_path)
+
+    model = SubstModel(datatype="nt", name="GTR", n_classes=4,
+                       freqs_mode="fixed",
+                       fixed_freqs=np.array([0.3, 0.2, 0.3, 0.2]))
+    params = model.init_params()
+    params["rr_val"] = jnp.log(jnp.asarray(
+        [1.2, 3.0, 0.8, 1.1, 4.0, 1.0]))
+    params["alpha"] = jnp.asarray(0.7)
+
+    eng = LikelihoodEngine(aln, model, dtype=jnp.float32)
+    ta = tree_arrays(topo.rooted(), dtype=jnp.float32)
+
+    # --- CLV throughput (pure full-likelihood evaluations) ----------
+    eng.loglik(params, ta).block_until_ready()     # compile
+    n_evals = 20
+    t0 = time.monotonic()
+    for _ in range(n_evals):
+        lnl = eng.loglik(params, ta)
+    lnl.block_until_ready()
+    dt = time.monotonic() - t0
+    updates = n_evals * eng.n_internal * eng.C * aln.n_patterns
+    clv_rate = updates / dt
+
+    # --- branch-length optimization speedup -------------------------
+    # warm the compile caches with one throwaway round
+    optimize_branch_lengths(eng, params, ta, max_rounds=1)
+    t0 = time.monotonic()
+    ta2, lnl_opt = optimize_branch_lengths(eng, params, ta)
+    ours_opt_s = time.monotonic() - t0
+    speedup = ref_opt_s / ours_opt_s
+
+    print(json.dumps({
+        "metric": "CLV site-updates/sec/chip (GTR+Gamma4, "
+                  f"{N_TAXA}x{N_SITES}nt)",
+        "value": round(clv_rate, 1),
+        "unit": "site-updates/s",
+        "vs_baseline": round(speedup, 3),
+    }))
+    print(f"# blen-opt: ours {ours_opt_s:.2f}s (lnL {float(lnl_opt):.2f}) "
+          f"vs reference {ref_opt_s:.2f}s",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

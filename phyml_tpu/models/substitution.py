@@ -71,9 +71,11 @@ class SubstModel:
     def __post_init__(self):
         self.name = self.name.upper()
         if self.freqs_mode is None:
-            self.freqs_mode = (
-                "empirical" if self.datatype == "nt" else "model"
-            )
+            # reference default is empirical (counted) frequencies for
+            # BOTH data types: run G's stats file prints the proteic
+            # alignment's observed frequencies, not LG's table
+            # (cl.c -f handling; -f m selects the model table)
+            self.freqs_mode = "empirical"
         if self.name in ("JC69", "K80"):
             # these models fix pi = 1/4 (utilities.h model defs;
             # stats output shows f(.) = 0.25 regardless of data)

@@ -85,6 +85,11 @@ class LikelihoodEngine:
         dtype=jnp.float32,
         pattern_pad: int = 128,
     ):
+        """To run SPMD over a device mesh, build the engine then
+        re-place the pattern-axis arrays with a sharding
+        (parallel.mesh.shard_pattern_arrays): sites are the data-
+        parallel axis, and XLA turns the weighted per-site reduction
+        into the program's only collective (replacing mpi_boot.c)."""
         self.aln = aln
         self.model = model
         self.dtype = dtype
@@ -108,7 +113,8 @@ class LikelihoodEngine:
             np.pad(aln.weights, (0, pad)), dtype=jnp.float64
         )
         inv = np.pad(aln.invariant, (0, pad), constant_values=-1)
-        self.invar_state = jnp.asarray(np.maximum(inv, 0), dtype=jnp.int32)
+        self.invar_state = jnp.asarray(np.maximum(inv, 0),
+                                       dtype=jnp.int32)
         self.invar_ok = jnp.asarray(inv >= 0, dtype=dtype)
 
         self._tiny = np.finfo(np.float32).tiny if dtype == jnp.float32 \
@@ -118,6 +124,7 @@ class LikelihoodEngine:
         self.loglik = jax.jit(self._loglik)
         self.loglik_full = jax.jit(self._loglik_full)
         self.site_logliks = jax.jit(self._site_logliks)
+        self.loglik_weighted = jax.jit(self._loglik_weighted)
 
     # ------------------------------------------------------------------
     # model plumbing
@@ -293,6 +300,16 @@ class LikelihoodEngine:
         pup, _, sc = self._up_pass(pmats, tree.child)
         site = self._root_site_loglik(pup, sc, pi, w, pinv)
         return self._reduce(site)
+
+    def _loglik_weighted(self, params, tree: TreeArrays, weights):
+        """lnL under an alternative pattern-weight vector (bootstrap
+        replicates resample weights, mpi_boot.c:119-135; vmapping this
+        over a weight matrix scores many replicates in one program)."""
+        lam, V, Vinv, pi, w, pinv = self._system(params)
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        pup, _, sc = self._up_pass(pmats, tree.child)
+        site = self._root_site_loglik(pup, sc, pi, w, pinv)
+        return jnp.sum(site.astype(jnp.float64) * weights)
 
     def _site_logliks(self, params, tree: TreeArrays):
         lam, V, Vinv, pi, w, pinv = self._system(params)

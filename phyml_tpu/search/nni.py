@@ -54,6 +54,16 @@ def candidate_arrays(rv):
 
 
 def _make_nni_scorer(engine):
+    """Scores every internal edge's 3 configurations with the FOUR
+    local branch lengths (central + the three adjacent pendants)
+    jointly optimized by coordinate Newton - the batched equivalent
+    of the reference's 5-branch NNI evaluation (alrt.c:32
+    Check_NNI_Five_Branches; only the grandparent edge u stays
+    fixed)."""
+    from phyml_tpu.models.eigen import pmat as _pmat
+
+    _P = jax.lax.Precision.HIGHEST
+
     def scorer(params, tree: TreeArrays, cand):
         lam, V, Vinv, pi, w, pinv = engine._system(params)
         pmats = engine._pmats(lam, V, Vinv,
@@ -62,64 +72,123 @@ def _make_nni_scorer(engine):
         out, sc_out = engine._down_pass(pmats, tree.child, pup, sc, pi)
 
         v, u, a, b, s = (cand[:, k] for k in range(5))
-        A, B, S = pup[a], pup[b], pup[s]              # [E, C, ns, P]
-        # outside partial transported through u's own edge:
-        # out[v] = (P_u^T out[u]) . pup[s], so the config-independent
-        # outside factor at the central edge is G = P_u^T out[u]
+        # out[v] = (P_u^T out[u]) . pup[s]: the config-independent
+        # outside factor above the central edge
         G = jnp.einsum("ecwz,ecwp->eczp", pmats[u], out[u],
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_P)
         sc_tot = sc[a] + sc[b] + sc[s] + sc_out[u]    # [E, C, P]
-
-        x = jnp.stack([A * B, A * S, B * S], axis=1)  # [E, 3, C, ns, P]
-        y = jnp.stack([G * S, G * B, G * A], axis=1)
-        bx = jnp.einsum("ciy,ekcyp->ekcip", Vinv, x,
-                        precision=jax.lax.Precision.HIGHEST)
-        ay = jnp.einsum("czi,ekczp->ekcip", V, y,
-                        precision=jax.lax.Precision.HIGHEST)
-        d = ay * bx                                    # [E, 3, C, ns, P]
-        sc_d = sc_tot[:, None]                         # [E, 1, C, P]
-        sc_d = jnp.broadcast_to(sc_d, d.shape[:2] + sc_tot.shape[1:])
 
         aux = dict(
             lam=lam, w=w, pinv=pinv,
             inv_lk=engine._inv_lk(pi, w) if engine.model.invar
             else jnp.zeros((engine.P,), dtype=engine.dtype),
         )
+        C = engine.C
 
-        t0 = jnp.clip(tree.blen[v], BL_MIN, BL_MAX)
-        t = jnp.broadcast_to(t0[:, None], d.shape[:2])
+        def newton(d, t, iters=5):
+            sc_d = jnp.broadcast_to(
+                sc_tot[:, None], d.shape[:2] + sc_tot.shape[1:]
+            )
 
-        def body(_, t):
-            _, d1, d2 = engine.edge_lnl_terms(d, sc_d, aux, t)
-            newton = t - d1 / jnp.where(d2 < 0, d2, -1.0)
-            probe = jnp.where(d1 > 0, t * 3.0, t / 3.0)
-            tn = jnp.where(d2 < -1e-12, newton, probe)
-            tn = jnp.clip(tn, t / 3.0, t * 3.0)
-            return jnp.clip(tn, BL_MIN, BL_MAX)
+            def body(_, t):
+                _, d1, d2 = engine.edge_lnl_terms(d, sc_d, aux, t)
+                nt = t - d1 / jnp.where(d2 < 0, d2, -1.0)
+                probe = jnp.where(d1 > 0, t * 3.0, t / 3.0)
+                tn = jnp.where(d2 < -1e-12, nt, probe)
+                return jnp.clip(jnp.clip(tn, t / 3.0, t * 3.0),
+                                BL_MIN, BL_MAX)
+            return jax.lax.fori_loop(0, iters, body, t)
 
-        t = jax.lax.fori_loop(0, _N_NEWTON, body, t)
-        lnl, _, _ = engine.edge_lnl_terms(d, sc_d, aux, t)  # [E, 3]
-        return lnl, t
+        def dots(x, y):
+            bx = jnp.einsum("ciy,ekcyp->ekcip", Vinv, x, precision=_P)
+            ay = jnp.einsum("czi,ekczp->ekcip", V, y, precision=_P)
+            return ay * bx
+
+        def P_of(t):
+            """t [E, 3] -> P [E, 3, C, ns, ns]."""
+            E = t.shape[0]
+            p = _pmat(lam, V, Vinv,
+                      t.reshape(-1)[:, None] *
+                      jnp.ones((1, C), dtype=engine.dtype))
+            return p.reshape(E, 3, C, engine.ns, engine.ns)
+
+        def push(P, x):
+            """P [E,3,C,ns,ns] @ x [E,3,C,ns,P] (or [E,1,...]
+            broadcast)."""
+            return jnp.einsum("ekcxy,ekcyp->ekcxp", P, x, precision=_P)
+
+        def pushT(P, x):
+            return jnp.einsum("ekcyx,ekcyp->ekcxp", P, x, precision=_P)
+
+        E3 = (cand.shape[0], 3)
+        # per-config subtree roles: children (x1, x2) and sibling x3
+        C1 = jnp.stack([clv[a], clv[a], clv[b]], 1)   # [E, 3, C, ns, P]
+        C2 = jnp.stack([clv[b], clv[s], clv[s]], 1)
+        C3 = jnp.stack([clv[s], clv[b], clv[a]], 1)
+        t1 = jnp.stack([tree.blen[a], tree.blen[a], tree.blen[b]], 1)
+        t2 = jnp.stack([tree.blen[b], tree.blen[s], tree.blen[s]], 1)
+        t3 = jnp.stack([tree.blen[s], tree.blen[b], tree.blen[a]], 1)
+        tc = jnp.broadcast_to(tree.blen[v][:, None], E3)
+        t1, t2, t3, tc = (jnp.clip(t, BL_MIN, BL_MAX)
+                          for t in (t1, t2, t3, tc))
+        Gb = G[:, None]                                # [E, 1, C, ns, P]
+
+        def cycle(_, ts):
+            t1, t2, t3, tc = ts
+            Q1 = push(P_of(t1), C1)
+            Q2 = push(P_of(t2), C2)
+            Q3 = push(P_of(t3), C3)
+            # central edge
+            tc = newton(dots(Q1 * Q2, Gb * Q3), tc)
+            Pc = P_of(tc)
+            # pendant 1: W = Pc^T (G.Q3)
+            W = pushT(Pc, Gb * Q3)
+            t1 = newton(dots(C1, W * Q2), t1)
+            Q1 = push(P_of(t1), C1)
+            # pendant 2
+            t2 = newton(dots(C2, W * Q1), t2)
+            Q2 = push(P_of(t2), C2)
+            # pendant 3 (sibling)
+            t3 = newton(dots(C3, Gb * push(Pc, Q1 * Q2)), t3)
+            return t1, t2, t3, tc
+
+        t1, t2, t3, tc = jax.lax.fori_loop(
+            0, 2, cycle, (t1, t2, t3, tc)
+        )
+        Q1 = push(P_of(t1), C1)
+        Q2 = push(P_of(t2), C2)
+        Q3 = push(P_of(t3), C3)
+        d = dots(Q1 * Q2, Gb * Q3)
+        sc_d = jnp.broadcast_to(
+            sc_tot[:, None], d.shape[:2] + sc_tot.shape[1:]
+        )
+        lnl, _, _ = engine.edge_lnl_terms(d, sc_d, aux, tc)  # [E, 3]
+        return lnl, (t1, t2, t3, tc)
 
     return jax.jit(scorer)
 
 
 def nni_scores(engine, params, tree: TreeArrays, cand: np.ndarray):
-    """(lnl [E, 3], t_opt [E, 3]): likelihood of the current config
-    (col 0) and both NNI alternatives (cols 1, 2) of every internal
-    edge, each with its central branch length Newton-optimized."""
+    """(lnl [E, 3], (t1, t2, t3, tc) each [E, 3]): likelihood of the
+    current config (col 0) and both NNI alternatives (cols 1, 2) of
+    every internal edge, the four local branch lengths optimized."""
     fn = getattr(engine, "_nni_scorer_fn", None)
     if fn is None:
         fn = _make_nni_scorer(engine)
         engine._nni_scorer_fn = fn
-    lnl, t = fn(params, tree, jnp.asarray(cand))
-    return np.asarray(lnl), np.asarray(t)
+    lnl, ts = fn(params, tree, jnp.asarray(cand))
+    return np.asarray(lnl), tuple(np.asarray(t) for t in ts)
 
 
 def _apply_swaps(topo, rv, cand, chosen, t_opt):
     """Apply the chosen (edge_index, cfg) swaps on the host topology.
-    cfg 1 swaps b<->s, cfg 2 swaps a<->s."""
+    cfg 1 swaps b<->s, cfg 2 swaps a<->s.  t_opt = (t1, t2, t3, tc)
+    arrays from nni_scores; all four local branch lengths are written
+    (per-config role order: cfg1 -> (a, s | b), cfg2 -> (b, s | a),
+    cfg0 -> (a, b | s))."""
+    t1, t2, t3, tc = t_opt
     uid = rv.unrooted_id
+    roles = {0: ("a", "b", "s"), 1: ("a", "s", "b"), 2: ("b", "s", "a")}
     for ei, cfg in chosen:
         v, u, a, b, s = (int(x) for x in cand[ei])
         mover = b if cfg == 1 else a
@@ -127,7 +196,17 @@ def _apply_swaps(topo, rv, cand, chosen, t_opt):
             int(rv.node_to_edge[mover]), int(uid[mover]),
             int(rv.node_to_edge[s]), int(uid[s]),
         )
-        topo.blen[int(rv.node_to_edge[v])] = float(t_opt[ei, cfg])
+        # post-swap, each moved subtree hangs on the OTHER's edge id
+        e_a, e_b, e_s = (int(rv.node_to_edge[x]) for x in (a, b, s))
+        if cfg == 1:        # b <-> s
+            edge_of = {"a": e_a, "b": e_s, "s": e_b}
+        else:               # a <-> s
+            edge_of = {"a": e_s, "b": e_b, "s": e_a}
+        r1, r2, r3 = roles[cfg]
+        topo.blen[int(rv.node_to_edge[v])] = float(tc[ei, cfg])
+        topo.blen[edge_of[r1]] = float(t1[ei, cfg])
+        topo.blen[edge_of[r2]] = float(t2[ei, cfg])
+        topo.blen[edge_of[r3]] = float(t3[ei, cfg])
     return topo
 
 
