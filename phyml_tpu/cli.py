@@ -1,0 +1,288 @@
+"""Command-line front end, mirroring the reference's phyml CLI.
+
+Reference: Read_Command_Line (cl.c:19) and the per-dataset driver
+loop (main.c:108-434).  The option surface below covers the phyml
+binary's analysis options; XML-driven analyses go through
+`--xml` (xml.py).
+
+Usage examples (same shapes as PhyML):
+  phyml-tpu -i aln.phy -d nt -m GTR -c 4 -a e -b 0 -o tlr -s SPR
+  phyml-tpu -i prot.phy -d aa -m LG -c 4 -v e -b 100
+  phyml-tpu -i aln.phy -u tree.nwk -o lr --r_seed 42 -b -5
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="phyml-tpu",
+        description="TPU-native phylogenetic ML (PhyML-compatible CLI)",
+    )
+    p.add_argument("-i", "--input", required=True,
+                   help="PHYLIP/FASTA/NEXUS alignment")
+    p.add_argument("-d", "--datatype", choices=["nt", "aa"],
+                   default=None)
+    p.add_argument("-q", "--sequential", action="store_true",
+                   help="sequential (non-interleaved) PHYLIP")
+    p.add_argument("-n", "--multiple", type=int, default=1,
+                   help="number of data sets (PHYLIP multi-alignment)")
+    p.add_argument("-m", "--model", default=None,
+                   help="JC69|K80|F81|HKY85|F84|TN93|GTR|custom string "
+                        "| LG|WAG|JTT|...|LG4X (aa)")
+    p.add_argument("-f", "--frequencies", default=None,
+                   help="'e' empirical, 'm' model/ML, 'o' optimized, "
+                        "or 'fA,fC,fG,fT'")
+    p.add_argument("-t", "--ts_tv", default="e",
+                   help="transition/transversion ratio (or 'e')")
+    p.add_argument("-c", "--n_classes", type=int, default=4)
+    p.add_argument("-a", "--alpha", default="e",
+                   help="gamma shape (or 'e' to estimate)")
+    p.add_argument("-v", "--pinv", default="0.0",
+                   help="proportion of invariant sites (or 'e')")
+    p.add_argument("--free_rates", action="store_true",
+                   help="FreeRate model instead of discrete gamma")
+    p.add_argument("-u", "--user_tree", default=None,
+                   help="starting tree newick file")
+    p.add_argument("-o", "--optimize", default="tlr",
+                   help="t=topology l=lengths r=rates; 'n' = none")
+    p.add_argument("-s", "--search", choices=["NNI", "SPR", "BEST"],
+                   default="NNI")
+    p.add_argument("-b", "--bootstrap", type=int, default=0,
+                   help=">0: replicates; 0: none; -1: aLRT stat; "
+                        "-2: aLRT chi2; -4: SH-aLRT; -5: aBayes")
+    p.add_argument("--tbe", action="store_true",
+                   help="transfer bootstrap (TBE) instead of FBP")
+    p.add_argument("--bayesian_bootstrap", action="store_true",
+                   help="Dirichlet-weight bootstrap")
+    p.add_argument("--r_seed", type=int, default=None)
+    p.add_argument("--rand_start", action="store_true",
+                   help="random starting tree(s)")
+    p.add_argument("--n_rand_starts", type=int, default=5)
+    p.add_argument("--weights", default=None,
+                   help="site-weight file")
+    p.add_argument("--print_site_lnl", action="store_true")
+    p.add_argument("--leave_duplicates", action="store_true")
+    p.add_argument("--no_memory_check", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--run_id", default=None)
+    p.add_argument("--xml", default=None,
+                   help="XML analysis description (partitions/mixtures)")
+    p.add_argument("--datatype_guess", action="store_true")
+    p.add_argument("--float32", action="store_true",
+                   help="fp32 likelihood (default on TPU; fp64 on CPU)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file; resumes if it exists")
+    p.add_argument("--checkpoint_every", type=int, default=300,
+                   help="checkpoint interval, seconds")
+    return p
+
+
+def _build_model(args, aln):
+    from phyml_tpu.models.substitution import SubstModel, lg4x_model
+
+    name = args.model
+    if name is None:
+        name = "HKY85" if aln.datatype == "nt" else "LG"
+    if name.upper() == "LG4X":
+        model = lg4x_model()
+        return model
+    freqs_mode = None
+    fixed = None
+    if args.frequencies:
+        f = args.frequencies
+        if f == "e":
+            freqs_mode = "empirical"
+        elif f == "m":
+            freqs_mode = "model" if aln.datatype == "aa" else "optimize"
+        elif f == "o":
+            freqs_mode = "optimize"
+        else:
+            fixed = np.asarray([float(x) for x in f.split(",")])
+            freqs_mode = "fixed"
+    opt_r = "r" in args.optimize
+    model = SubstModel(
+        datatype=aln.datatype,
+        name=name,
+        n_classes=args.n_classes,
+        invar=(args.pinv == "e" or float(args.pinv or 0) > 0),
+        freerate=args.free_rates,
+        freqs_mode=freqs_mode,
+        fixed_freqs=fixed,
+        optimize_kappa=opt_r and args.ts_tv == "e",
+        optimize_alpha=opt_r and args.alpha == "e",
+        optimize_pinv=opt_r and args.pinv == "e",
+        optimize_rr=opt_r,
+    )
+    return model
+
+
+def _init_params(args, model, aln):
+    import jax.numpy as jnp
+
+    params = model.init_params(aln.obs_state_freqs)
+    if args.ts_tv != "e" and "kappa" in params:
+        params["kappa"] = jnp.asarray(float(args.ts_tv))
+    if args.alpha != "e" and "alpha" in params:
+        params["alpha"] = jnp.asarray(float(args.alpha))
+    if args.pinv != "e" and model.invar:
+        params["pinv"] = jnp.asarray(float(args.pinv))
+    return params
+
+
+def run_analysis(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from phyml_tpu.io.alignment import read_alignment, read_site_weights
+    from phyml_tpu.io.output import (
+        format_stats, write_results, write_site_lnl,
+    )
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.optim.round import round_optimize
+    from phyml_tpu.search.bionj import bionj_start
+    from phyml_tpu.search.driver import nni_search, spr_search
+    from phyml_tpu.search.support import (
+        alrt_supports, bootstrap_supports,
+    )
+    from phyml_tpu.topology import Topology
+    from phyml_tpu.ops.parsimony import parsimony_score
+
+    t_start = time.time()
+    seed = args.r_seed if args.r_seed is not None else int(
+        time.time()) % (2 ** 31)
+    rng = np.random.default_rng(seed)
+
+    site_w = read_site_weights(args.weights) if args.weights else None
+    aln = read_alignment(args.input, datatype=args.datatype,
+                         interleaved=not args.sequential,
+                         site_weights=site_w)
+    if not args.quiet:
+        print(f". {aln.n_patterns} patterns found (out of a total of "
+              f"{aln.n_sites} sites).")
+
+    model = _build_model(args, aln)
+    params = _init_params(args, model, aln)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    dtype = jnp.float32 if (args.float32 or on_tpu) else jnp.float64
+    engine = LikelihoodEngine(aln, model, dtype=dtype)
+
+    # ---- starting tree ------------------------------------------------
+    if args.user_tree:
+        with open(args.user_tree) as fh:
+            topo = Topology.from_newick(fh.read(), aln.names)
+        start_desc = f"user tree ({args.user_tree})"
+    elif args.rand_start:
+        topo = Topology.random(aln.n_otu, rng)
+        start_desc = "random"
+    else:
+        topo = bionj_start(engine, params)
+        start_desc = "BioNJ"
+
+    # ---- optimize -----------------------------------------------------
+    opt = args.optimize
+    opt_topo = "t" in opt
+    opt_len = "l" in opt or opt_topo
+    opt_rates = "r" in opt
+
+    checkpointer = None
+    if args.checkpoint:
+        from phyml_tpu.utils.checkpoint import Checkpointer
+        checkpointer = Checkpointer(args.checkpoint,
+                                    every_s=args.checkpoint_every)
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            topo, params, stage = resumed
+            if not args.quiet:
+                print(f". Resumed from checkpoint ({stage}).")
+
+    if opt_topo:
+        searcher = spr_search if args.search in ("SPR", "BEST") \
+            else nni_search
+        search_desc = args.search
+        topo, params, lnl = searcher(
+            engine, model, params, topo,
+            opt_params=opt_rates, seed=seed,
+            verbose=not args.quiet,
+        ) if searcher is spr_search else searcher(
+            engine, model, params, topo,
+            opt_params=opt_rates, verbose=not args.quiet,
+        )
+    else:
+        search_desc = "none"
+        ta = tree_arrays(topo.rooted(), dtype=dtype)
+        if opt_len or opt_rates:
+            params, ta, lnl = round_optimize(
+                engine, model, params, ta,
+                opt_blen=opt_len, opt_params=opt_rates,
+            )
+        else:
+            lnl = float(engine.loglik(params, ta))
+        rv = topo.rooted()
+        topo.set_blen_from_rooted(rv, np.asarray(ta.blen))
+
+    if checkpointer is not None:
+        checkpointer.save(topo, params, "search_done", force=True)
+
+    # ---- branch support ----------------------------------------------
+    support = None
+    b = args.bootstrap
+    if b > 0:
+        support = bootstrap_supports(
+            engine, model, params, topo, n_replicates=b,
+            search="spr" if args.search in ("SPR", "BEST") else "nni",
+            seed=seed, bayesian=args.bayesian_bootstrap, tbe=args.tbe,
+            verbose=not args.quiet,
+        )
+        support_fmt = "%.0f"
+        support = {eid: v * b for eid, v in support.items()}
+    elif b < 0:
+        method = {-1: "alrt-stat", -2: "alrt-chi2", -3: "alrt-chi2",
+                  -4: "sh", -5: "abayes"}[b]
+        support = alrt_supports(engine, model, params, topo,
+                                method=method, seed=seed)
+        support_fmt = "%.6f" if b == -1 else "%.4f"
+    else:
+        support_fmt = "%.2f"
+
+    # ---- outputs ------------------------------------------------------
+    pars = parsimony_score(engine, topo)
+    stats = format_stats(
+        input_name=args.input, aln=aln, model=model, params=params,
+        lnl=lnl, topo=topo, search_desc=search_desc,
+        start_tree_desc=start_desc, runtime_s=time.time() - t_start,
+        seed=seed, n_parsimony=pars,
+    )
+    run_id = f"_{args.run_id}" if args.run_id else ""
+    prefix = f"{args.input}{run_id}"
+    tree_path, stats_path = write_results(
+        prefix, topo, aln.names, stats,
+        support=support, support_fmt=support_fmt,
+    )
+    if args.print_site_lnl:
+        ta = tree_arrays(topo.rooted(), dtype=dtype)
+        write_site_lnl(f"{prefix}_phyml_lk.txt", aln,
+                       engine.site_logliks(params, ta))
+    if not args.quiet:
+        print(f". Log-likelihood: {lnl:.5f}")
+        print(f". Results written to {tree_path} and {stats_path}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.xml:
+        from phyml_tpu.io.xmlcfg import run_xml
+        return run_xml(args.xml, quiet=args.quiet)
+    return run_analysis(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,11 +120,20 @@ class LikelihoodEngine:
         self._tiny = np.finfo(np.float32).tiny if dtype == jnp.float32 \
             else np.finfo(np.float64).tiny
 
-        # compiled entry points
-        self.loglik = jax.jit(self._loglik)
-        self.loglik_full = jax.jit(self._loglik_full)
+        # compiled entry points (weights default to the alignment's
+        # pattern counts; bootstrap passes resampled vectors)
+        self._jit_loglik = jax.jit(self._loglik)
+        self._jit_loglik_full = jax.jit(self._loglik_full)
         self.site_logliks = jax.jit(self._site_logliks)
-        self.loglik_weighted = jax.jit(self._loglik_weighted)
+
+    def _w(self, weights):
+        return self.weights if weights is None else weights
+
+    def loglik(self, params, tree, weights=None):
+        return self._jit_loglik(params, tree, self._w(weights))
+
+    def loglik_full(self, params, tree, weights=None):
+        return self._jit_loglik_full(params, tree, self._w(weights))
 
     # ------------------------------------------------------------------
     # model plumbing
@@ -286,30 +295,20 @@ class LikelihoodEngine:
             var_part,
         )
 
-    def _reduce(self, site_loglik):
-        return jnp.sum(
-            site_loglik.astype(jnp.float64) * self.weights
-        )
-
     # ------------------------------------------------------------------
-    # public computations
+    # public computations.  Every entry point takes the pattern-weight
+    # vector as a traced ARGUMENT (not a baked closure constant) so
+    # bootstrap replicates - which only change weights
+    # (mpi_boot.c:119-135) - reuse the same compiled executables.
     # ------------------------------------------------------------------
-    def _loglik(self, params, tree: TreeArrays):
-        lam, V, Vinv, pi, w, pinv = self._system(params)
-        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
-        pup, _, sc = self._up_pass(pmats, tree.child)
-        site = self._root_site_loglik(pup, sc, pi, w, pinv)
-        return self._reduce(site)
-
-    def _loglik_weighted(self, params, tree: TreeArrays, weights):
-        """lnL under an alternative pattern-weight vector (bootstrap
-        replicates resample weights, mpi_boot.c:119-135; vmapping this
-        over a weight matrix scores many replicates in one program)."""
+    def _loglik(self, params, tree: TreeArrays, weights):
         lam, V, Vinv, pi, w, pinv = self._system(params)
         pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
         pup, _, sc = self._up_pass(pmats, tree.child)
         site = self._root_site_loglik(pup, sc, pi, w, pinv)
         return jnp.sum(site.astype(jnp.float64) * weights)
+
+    _loglik_weighted = _loglik  # vmap-friendly alias
 
     def _site_logliks(self, params, tree: TreeArrays):
         lam, V, Vinv, pi, w, pinv = self._system(params)
@@ -317,21 +316,21 @@ class LikelihoodEngine:
         pup, _, sc = self._up_pass(pmats, tree.child)
         return self._root_site_loglik(pup, sc, pi, w, pinv)
 
-    def _loglik_full(self, params, tree: TreeArrays):
+    def _loglik_full(self, params, tree: TreeArrays, weights):
         """lnL plus all partials (for edge ops / search scoring)."""
         lam, V, Vinv, pi, w, pinv = self._system(params)
         pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
         pup, clv, sc = self._up_pass(pmats, tree.child)
         out, sc_out = self._down_pass(pmats, tree.child, pup, sc, pi)
         site = self._root_site_loglik(pup, sc, pi, w, pinv)
-        lnl = self._reduce(site)
+        lnl = jnp.sum(site.astype(jnp.float64) * weights)
         return lnl, Partials(clv=clv, pup=pup, sc=sc, out=out,
                              sc_out=sc_out)
 
     # ------------------------------------------------------------------
     # eigen-LR edge machinery (lk.c:1038 / lk.c:655, all edges at once)
     # ------------------------------------------------------------------
-    def edge_dotprods(self, params, tree: TreeArrays):
+    def edge_dotprods(self, params, tree: TreeArrays, weights):
         """Eigen-basis dot products for every edge simultaneously:
         d [n_nodes, C, ns, P], sc_d [n_nodes, C, P] such that the
         per-(class, pattern) site likelihood as a function of edge-u's
@@ -348,17 +347,17 @@ class LikelihoodEngine:
         a = jnp.einsum("czi,nczp->ncip", V, out, precision=_PREC)
         d = a * b
         sc_d = sc_out + sc
-        aux = dict(lam=lam, w=w, pinv=pinv,
+        aux = dict(lam=lam, w=w, pinv=pinv, weights=weights,
                    inv_lk=self._inv_lk(pi, w) if self.model.invar
                    else jnp.zeros((self.P,), dtype=self.dtype))
         return d, sc_d, aux
 
-    def edge_lnl_terms(self, d_n, sc_n, aux, t):
-        """(lnL, dlnL, d2lnL) of the whole tree as a function of ONE
-        edge length t, from that edge's dot products d_n [C, ns, P] and
-        scales sc_n [C, P].  O(C*ns*P), no traversal (the reference's
-        dLk, lk.c:655 + Br_Len_Spline Newton, optimiz.c:2244).
-        Broadcasts: t may be [n_edges] with d_n [n_edges, C, ns, P]."""
+    def edge_site_terms(self, d_n, sc_n, aux, t):
+        """Per-site (log-likelihood, dlnL, d2lnL) as a function of ONE
+        edge length t, from that edge's dot products.  Shapes: site
+        [..., P]; used by edge_lnl_terms (reduction) and by the
+        SH/RELL branch supports, which need per-site log-likelihoods
+        of the NNI configurations (alrt.c log_lks_aLRT)."""
         lam, w, pinv = aux["lam"], aux["w"], aux["pinv"]
         inv_lk = aux["inv_lk"]
         lam_b = lam[..., :, :, None]                     # [C, ns, 1]
@@ -396,7 +395,16 @@ class LikelihoodEngine:
         ) * jnp.sign(A2)
         dln = ratio
         d2ln = ratio2 - ratio ** 2
-        wts = self.weights
+        return site, dln, d2ln
+
+    def edge_lnl_terms(self, d_n, sc_n, aux, t):
+        """(lnL, dlnL, d2lnL) of the whole tree as a function of ONE
+        edge length t, from that edge's dot products d_n [C, ns, P] and
+        scales sc_n [C, P].  O(C*ns*P), no traversal (the reference's
+        dLk, lk.c:655 + Br_Len_Spline Newton, optimiz.c:2244).
+        Broadcasts: t may be [n_edges] with d_n [n_edges, C, ns, P]."""
+        site, dln, d2ln = self.edge_site_terms(d_n, sc_n, aux, t)
+        wts = aux["weights"]
         lnL = jnp.sum(site.astype(jnp.float64) * wts, axis=-1)
         dlnL = jnp.sum(dln.astype(jnp.float64) * wts, axis=-1)
         d2lnL = jnp.sum(d2ln.astype(jnp.float64) * wts, axis=-1)

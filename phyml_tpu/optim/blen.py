@@ -52,8 +52,8 @@ def _make_blen_round(engine):
 
         return lax.fori_loop(0, _N_NEWTON, body, jnp.where(mask, t0, t0))
 
-    def round_fn(params, tree: TreeArrays, lnl0):
-        d, sc_d, aux = engine.edge_dotprods(params, tree)
+    def round_fn(params, tree: TreeArrays, lnl0, weights):
+        d, sc_d, aux = engine.edge_dotprods(params, tree, weights)
         n_nodes = engine.n_nodes
         idx = jnp.arange(n_nodes)
         root = n_nodes - 1
@@ -66,7 +66,8 @@ def _make_blen_round(engine):
         t1 = jnp.where(mask, t1, t0)
 
         def lnl_at(t):
-            return engine._loglik(params, TreeArrays(tree.child, t))
+            return engine._loglik(params, TreeArrays(tree.child, t),
+                                  weights)
 
         def cond(state):
             t, lnl, k = state
@@ -95,6 +96,7 @@ def optimize_branch_lengths(
     tree: TreeArrays,
     tol: float = 1e-4,
     max_rounds: int = 32,
+    weights=None,
 ):
     """Maximize lnL over all branch lengths; returns (tree, lnL).
 
@@ -106,9 +108,10 @@ def optimize_branch_lengths(
     if fn is None:
         fn = _make_blen_round(engine)
         engine._blen_round_fn = fn
-    lnl = engine.loglik(params, tree)
+    weights = engine.weights if weights is None else weights
+    lnl = engine.loglik(params, tree, weights)
     for _ in range(max_rounds):
-        tree, lnl_new = fn(params, tree, lnl)
+        tree, lnl_new = fn(params, tree, lnl, weights)
         gain = float(lnl_new) - float(lnl)
         lnl = lnl_new
         if gain < tol:

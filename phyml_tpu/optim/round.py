@@ -84,9 +84,10 @@ def _set(params, name, idx, value):
 
 
 def optimize_scalars(engine, model, params, tree, lnl0=None,
-                     brent_tol: float = 1e-3):
+                     brent_tol: float = 1e-3, weights=None):
     """One pass of per-parameter Brent searches; returns (params, lnL)."""
-    lnl = float(engine.loglik(params, tree)) if lnl0 is None else lnl0
+    lnl = float(engine.loglik(params, tree, weights)) \
+        if lnl0 is None else lnl0
     for name, idx, tf, lo, hi in free_scalar_slots(model, params):
         cur = _get(params, name, idx)
         # invert the transform at the current value for the start point
@@ -99,7 +100,7 @@ def optimize_scalars(engine, model, params, tree, lnl0=None,
 
         def f(x, _name=name, _idx=idx, _tf=tf):
             return float(engine.loglik(_set(params, _name, _idx, _tf(x)),
-                                       tree))
+                                       tree, weights))
 
         x, fx = brent_maximize(f, lo, hi, tol=brent_tol, x0=x0)
         if fx > lnl:
@@ -119,20 +120,21 @@ def round_optimize(
     max_rounds: int = 20,
     blen_tol: float = 1e-4,
     verbose: bool = False,
+    weights=None,
 ):
     """Alternate branch-length and model-parameter optimization until
     a full round gains < tol log units (Round_Optimize optimiz.c:669).
     Returns (params, tree, lnL)."""
-    lnl = float(engine.loglik(params, tree))
+    lnl = float(engine.loglik(params, tree, weights))
     for it in range(max_rounds):
         start = lnl
         if opt_blen:
             tree, lnl = optimize_branch_lengths(
-                engine, params, tree, tol=blen_tol
+                engine, params, tree, tol=blen_tol, weights=weights
             )
         if opt_params:
             params, lnl = optimize_scalars(engine, model, params, tree,
-                                           lnl0=lnl)
+                                           lnl0=lnl, weights=weights)
         if verbose:
             print(f"  round {it}: lnL {lnl:.5f}")
         if lnl - start < tol:

@@ -106,9 +106,9 @@ def bionj(D: np.ndarray, n_otu: int | None = None) -> Topology:
     return t
 
 
-def bionj_start(engine, params) -> Topology:
+def bionj_start(engine, params, weights=None) -> Topology:
     """ML distances + BioNJ (the reference's default starting tree,
     Dist_And_BioNJ utilities.c:9172)."""
     from phyml_tpu.search.distances import ml_pairwise_distances
-    D = ml_pairwise_distances(engine, params)
+    D = ml_pairwise_distances(engine, params, weights=weights)
     return bionj(D)

@@ -52,7 +52,7 @@ def _pair_loglik(F, lam, V, Vinv, pi, w, t):
     return jnp.sum(F * jnp.log(jnp.maximum(site, 1e-300)), axis=(1, 2))
 
 
-def ml_pairwise_distances(engine, params) -> np.ndarray:
+def ml_pairwise_distances(engine, params, weights=None) -> np.ndarray:
     """Full symmetric [n_otu, n_otu] ML distance matrix."""
     # single unit-rate class (reference disables gamma, lk.c:1817-1824)
     lam, V, Vinv, pi, w_, _ = engine.model.class_system(
@@ -62,7 +62,8 @@ def ml_pairwise_distances(engine, params) -> np.ndarray:
     lam, V, Vinv, pi = c(lam[:1]), c(V[:1]), c(Vinv[:1]), c(pi[:1])
     w = jnp.ones((1,), dtype=engine.dtype)
     tips = engine.tips
-    F = _all_pair_counts(tips, engine.weights.astype(engine.dtype))
+    weights = engine.weights if weights is None else weights
+    F = _all_pair_counts(tips, weights.astype(engine.dtype))
 
     # grid scan (log-spaced) for a robust start
     grid = jnp.logspace(np.log10(1e-4), np.log10(DIST_MAX), _GRID)

@@ -25,6 +25,7 @@ def nni_search(
     max_outer: int = 20,
     max_inner: int = 50,
     verbose: bool = False,
+    weights=None,
 ):
     """NNI topology search with interleaved parameter optimization.
     Returns (topo, params, lnL)."""
@@ -32,7 +33,8 @@ def nni_search(
     for outer in range(max_outer):
         # inner NNI loop until no improving swap
         for _ in range(max_inner):
-            topo, lnl_new, n_swaps = nni_round(engine, params, topo)
+            topo, lnl_new, n_swaps = nni_round(engine, params, topo,
+                                               weights=weights)
             if verbose:
                 print(f"  nni: lnL {lnl_new:.5f} ({n_swaps} swaps)")
             if n_swaps == 0:
@@ -42,6 +44,7 @@ def nni_search(
             params, ta, lnl_new = round_optimize(
                 engine, model, params,
                 tree_arrays(rv, dtype=engine.dtype), max_rounds=3,
+                weights=weights,
             )
             topo.set_blen_from_rooted(rv, np.asarray(ta.blen))
             if verbose:
@@ -54,7 +57,7 @@ def nni_search(
     params, ta, lnl = round_optimize(
         engine, model, params,
         tree_arrays(topo.rooted(), dtype=engine.dtype),
-        opt_params=opt_params,
+        opt_params=opt_params, weights=weights,
     )
     rv = topo.rooted()
     topo.set_blen_from_rooted(rv, np.asarray(ta.blen))
@@ -71,6 +74,7 @@ def spr_search(
     max_outer: int = 15,
     seed: int = 0,
     verbose: bool = False,
+    weights=None,
 ):
     """SPR topology search with interleaved parameter optimization and
     a final NNI polish (reference: Global_Spr_Search spr.c:764, which
@@ -80,7 +84,7 @@ def spr_search(
     lnl = -np.inf
     for outer in range(max_outer):
         topo, lnl_spr, n_moves = spr_round(
-            engine, params, topo, rng=rng
+            engine, params, topo, rng=rng, weights=weights
         )
         if verbose:
             print(f"  spr: lnL {lnl_spr:.5f} ({n_moves} moves)")
@@ -88,7 +92,7 @@ def spr_search(
         params, ta, lnl_new = round_optimize(
             engine, model, params,
             tree_arrays(rv, dtype=engine.dtype),
-            opt_params=opt_params, max_rounds=3,
+            opt_params=opt_params, max_rounds=3, weights=weights,
         )
         topo.set_blen_from_rooted(rv, np.asarray(ta.blen))
         if verbose:
@@ -100,5 +104,5 @@ def spr_search(
     # NNI polish + final joint optimization
     return nni_search(
         engine, model, params, topo,
-        opt_params=opt_params, verbose=verbose,
+        opt_params=opt_params, verbose=verbose, weights=weights,
     )

@@ -64,7 +64,7 @@ def _make_nni_scorer(engine):
 
     _P = jax.lax.Precision.HIGHEST
 
-    def scorer(params, tree: TreeArrays, cand):
+    def scorer(params, tree: TreeArrays, cand, weights):
         lam, V, Vinv, pi, w, pinv = engine._system(params)
         pmats = engine._pmats(lam, V, Vinv,
                               tree.blen.astype(engine.dtype))
@@ -79,7 +79,7 @@ def _make_nni_scorer(engine):
         sc_tot = sc[a] + sc[b] + sc[s] + sc_out[u]    # [E, C, P]
 
         aux = dict(
-            lam=lam, w=w, pinv=pinv,
+            lam=lam, w=w, pinv=pinv, weights=weights,
             inv_lk=engine._inv_lk(pi, w) if engine.model.invar
             else jnp.zeros((engine.P,), dtype=engine.dtype),
         )
@@ -162,22 +162,32 @@ def _make_nni_scorer(engine):
         sc_d = jnp.broadcast_to(
             sc_tot[:, None], d.shape[:2] + sc_tot.shape[1:]
         )
-        lnl, _, _ = engine.edge_lnl_terms(d, sc_d, aux, tc)  # [E, 3]
-        return lnl, (t1, t2, t3, tc)
+        site, _, _ = engine.edge_site_terms(d, sc_d, aux, tc)
+        lnl = jnp.sum(
+            site.astype(jnp.float64) * aux["weights"], axis=-1
+        )                                              # [E, 3]
+        return lnl, (t1, t2, t3, tc), site
 
     return jax.jit(scorer)
 
 
-def nni_scores(engine, params, tree: TreeArrays, cand: np.ndarray):
-    """(lnl [E, 3], (t1, t2, t3, tc) each [E, 3]): likelihood of the
-    current config (col 0) and both NNI alternatives (cols 1, 2) of
-    every internal edge, the four local branch lengths optimized."""
+def nni_scores(engine, params, tree: TreeArrays, cand: np.ndarray,
+               weights=None, return_site=False):
+    """(lnl [E, 3], (t1, t2, t3, tc) each [E, 3][, site [E, 3, P]]):
+    likelihood of the current config (col 0) and both NNI alternatives
+    (cols 1, 2) of every internal edge, the four local branch lengths
+    optimized.  return_site=True adds the per-site log-likelihoods
+    (the reference's log_lks_aLRT, used by SH/RELL supports)."""
     fn = getattr(engine, "_nni_scorer_fn", None)
     if fn is None:
         fn = _make_nni_scorer(engine)
         engine._nni_scorer_fn = fn
-    lnl, ts = fn(params, tree, jnp.asarray(cand))
-    return np.asarray(lnl), tuple(np.asarray(t) for t in ts)
+    weights = engine.weights if weights is None else weights
+    lnl, ts, site = fn(params, tree, jnp.asarray(cand), weights)
+    out = (np.asarray(lnl), tuple(np.asarray(t) for t in ts))
+    if return_site:
+        out = out + (np.asarray(site),)
+    return out
 
 
 def _apply_swaps(topo, rv, cand, chosen, t_opt):
@@ -231,17 +241,19 @@ def _select_disjoint(cand, gains, min_gain):
 
 
 def nni_round(engine, params, topo, lnl0=None, min_gain: float = 1e-4,
-              blen_tol: float = 1e-4):
+              blen_tol: float = 1e-4, weights=None):
     """One simultaneous-NNI round: optimize branch lengths, score all
     edges, apply the best node-disjoint set of improving swaps (with
     single-swap fallback).  Returns (topo, lnL, n_applied)."""
     rv = topo.rooted()
     ta = tree_arrays(rv, dtype=engine.dtype)
-    ta, lnl = optimize_branch_lengths(engine, params, ta, tol=blen_tol)
+    ta, lnl = optimize_branch_lengths(engine, params, ta, tol=blen_tol,
+                                      weights=weights)
     topo.set_blen_from_rooted(rv, np.asarray(ta.blen))
 
     cand = candidate_arrays(rv)
-    lnl_cfg, t_opt = nni_scores(engine, params, ta, cand)
+    lnl_cfg, t_opt = nni_scores(engine, params, ta, cand,
+                                weights=weights)
     gains = lnl_cfg[:, 1:] - lnl_cfg[:, [0]]
     chosen = _select_disjoint(cand, gains, min_gain)
     if not chosen:
@@ -250,7 +262,7 @@ def nni_round(engine, params, topo, lnl0=None, min_gain: float = 1e-4,
     new_topo = _apply_swaps(topo.copy(), rv, cand, chosen, t_opt)
     ta2 = tree_arrays(new_topo.rooted(), dtype=engine.dtype)
     ta2, lnl2 = optimize_branch_lengths(engine, params, ta2,
-                                        tol=blen_tol)
+                                        tol=blen_tol, weights=weights)
     if lnl2 <= lnl and len(chosen) > 1:
         # joint application hurt: fall back to the best single swap
         # (reference: Mov_Backward_Topo_Bl simu.c:395)
@@ -258,7 +270,8 @@ def nni_round(engine, params, topo, lnl0=None, min_gain: float = 1e-4,
         new_topo = _apply_swaps(topo.copy(), rv, cand, chosen, t_opt)
         ta2 = tree_arrays(new_topo.rooted(), dtype=engine.dtype)
         ta2, lnl2 = optimize_branch_lengths(engine, params, ta2,
-                                            tol=blen_tol)
+                                            tol=blen_tol,
+                                            weights=weights)
     if lnl2 <= lnl:
         return topo, lnl, 0
     new_topo.set_blen_from_rooted(new_topo.rooted(), np.asarray(ta2.blen))

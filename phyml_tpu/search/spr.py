@@ -52,7 +52,7 @@ def _make_spr_scorer(engine):
             return jnp.clip(tn, BL_MIN, BL_MAX)
         return jax.lax.fori_loop(0, iters, body, t)
 
-    def scorer(params, tree: TreeArrays, mask, v, valid):
+    def scorer(params, tree: TreeArrays, mask, v, valid, weights):
         lam, V, Vinv, pi, w, pinv = engine._system(params)
         pmats = engine._pmats(lam, V, Vinv,
                               tree.blen.astype(engine.dtype))
@@ -61,7 +61,7 @@ def _make_spr_scorer(engine):
                                         mask)
 
         aux = dict(
-            lam=lam, w=w, pinv=pinv,
+            lam=lam, w=w, pinv=pinv, weights=weights,
             inv_lk=engine._inv_lk(pi, w) if engine.model.invar
             else jnp.zeros((engine.P,), dtype=engine.dtype),
         )
@@ -123,7 +123,8 @@ def _make_spr_scorer(engine):
     return jax.jit(scorer)
 
 
-def spr_scores(engine, params, tree: TreeArrays, mask, v, valid):
+def spr_scores(engine, params, tree: TreeArrays, mask, v, valid,
+               weights=None):
     """Per target edge e: exact lnL of regrafting subtree v onto e
     with the three junction lengths (inside half t1, outside half t2,
     pendant tp) jointly optimized.  Returns (lnl, t1, t2, tp)."""
@@ -131,9 +132,10 @@ def spr_scores(engine, params, tree: TreeArrays, mask, v, valid):
     if fn is None:
         fn = _make_spr_scorer(engine)
         engine._spr_scorer_fn = fn
+    weights = engine.weights if weights is None else weights
     lnl, t1, t2, tp = fn(params, tree, jnp.asarray(mask),
                          jnp.asarray(v, dtype=jnp.int32),
-                         jnp.asarray(valid))
+                         jnp.asarray(valid), weights)
     return (np.asarray(lnl), np.asarray(t1), np.asarray(t2),
             np.asarray(tp))
 
@@ -217,6 +219,7 @@ def spr_round(
     topo,
     min_gain: float = 1e-3,
     rng: np.random.Generator | None = None,
+    weights=None,
 ):
     """One SPR sweep: every prunable subtree in random order, best
     regraft applied immediately when it beats the current tree by
@@ -225,7 +228,7 @@ def spr_round(
     n_applied = 0
     rv = topo.rooted()
     ta = tree_arrays(rv, dtype=engine.dtype)
-    lnl_cur = float(engine.loglik(params, ta))
+    lnl_cur = float(engine.loglik(params, ta, weights))
     order = rng.permutation(prune_candidates(rv))
     for v in order:
         v = int(v)
@@ -240,7 +243,7 @@ def spr_round(
             continue
         mask, valid = spr_move_arrays(rv, v)
         lnl_t, t1, t2, tp = spr_scores(engine, params, ta, mask, v,
-                                       valid)
+                                       valid, weights=weights)
         best = int(np.argmax(lnl_t))
         u = int(rv.parent[v])
         s_row = rv.child[u - rv.n_otu]

@@ -1,0 +1,112 @@
+"""End-to-end CLI runs against golden reference outputs."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from phyml_tpu.cli import main
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+EXAMPLES = "/root/reference/examples"
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    shutil.copy(os.path.join(EXAMPLES, "nucleic"), tmp_path)
+    shutil.copy(os.path.join(GOLDEN, "ref_tree_A.nwk"), tmp_path)
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _stats_value(path, key):
+    with open(path) as fh:
+        for line in fh:
+            if key in line:
+                return float(line.split()[-1])
+    raise KeyError(key)
+
+
+def test_cli_fixed_tree_eval(workdir):
+    # golden A: JC69, no optimization -> -6172.70828
+    rc = main(["-i", "nucleic", "-d", "nt", "-m", "JC69", "-c", "1",
+               "-u", "ref_tree_A.nwk", "-b", "0", "-o", "n",
+               "--quiet", "--r_seed", "1"])
+    assert rc == 0
+    lnl = _stats_value(workdir / "nucleic_phyml_stats.txt",
+                       "Log-likelihood:")
+    assert abs(lnl - (-6172.70828)) < 5e-3
+    pars = _stats_value(workdir / "nucleic_phyml_stats.txt",
+                        "Parsimony:")
+    assert pars == 847  # golden A stats
+
+
+def test_cli_lr_optimization(workdir):
+    # golden D: HKY85+G4, -o lr, kappa/alpha estimated -> -5432.64350
+    rc = main(["-i", "nucleic", "-d", "nt", "-m", "HKY85", "-c", "4",
+               "-a", "e", "-t", "e", "-u", "ref_tree_A.nwk",
+               "-b", "0", "-o", "lr", "--quiet", "--r_seed", "1",
+               "--run_id", "D"])
+    assert rc == 0
+    stats = workdir / "nucleic_D_phyml_stats.txt"
+    lnl = _stats_value(stats, "Log-likelihood:")
+    assert lnl >= -5432.64350 - 5e-3
+    assert lnl <= -5432.0
+    assert abs(_stats_value(stats, "Parsimony:") - 847) < 0.5
+
+
+def test_cli_abayes_supports(workdir):
+    rc = main(["-i", "nucleic", "-d", "nt", "-m", "HKY85", "-c", "4",
+               "-u", "ref_tree_A.nwk", "-b", "-5", "-o", "lr",
+               "--quiet", "--r_seed", "1", "--run_id", "AB"])
+    assert rc == 0
+    with open(workdir / "nucleic_AB_phyml_tree.txt") as fh:
+        tree_text = fh.read()
+    # supports appear as labels after ')'
+    assert ")0." in tree_text or ")1." in tree_text
+
+
+def test_cli_site_lnl_dump(workdir, nucleic):
+    rc = main(["-i", "nucleic", "-d", "nt", "-m", "JC69", "-c", "1",
+               "-u", "ref_tree_A.nwk", "-b", "0", "-o", "n",
+               "--quiet", "--r_seed", "1", "--print_site_lnl",
+               "--run_id", "S"])
+    assert rc == 0
+    # compare per-site lnLs to the reference dump (golden A)
+    ours = {}
+    with open(workdir / "nucleic_S_phyml_lk.txt") as fh:
+        next(fh)
+        for line in fh:
+            i, v = line.split()
+            ours[int(i)] = float(v)
+    ref = {}
+    with open(os.path.join(GOLDEN, "nucleic_A_phyml_lk.txt")) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 2 and parts[0].isdigit():
+                # reference dumps P(D|M), not the log
+                ref[int(parts[0])] = np.log(float(parts[1]))
+    common = set(ours) & set(ref)
+    assert len(common) == 886
+    diffs = [abs(ours[i] - ref[i]) for i in common]
+    assert max(diffs) < 1e-3
+
+
+def test_cli_xml_lg4x(tmp_path, monkeypatch):
+    xml = open(os.path.join(EXAMPLES, "lg4x", "lg4x.xml")).read()
+    xml = xml.replace("../examples/lg4x",
+                      os.path.join(EXAMPLES, "lg4x"))
+    xml = xml.replace("../examples/proteic",
+                      os.path.join(EXAMPLES, "proteic"))
+    p = tmp_path / "lg4x.xml"
+    p.write_text(xml)
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--xml", str(p), "-i", "ignored", "--quiet"])
+    assert rc == 0
+    stats = tmp_path / "lg4x.tests_phyml_stats.txt"
+    lnl = _stats_value(stats, "Log-likelihood:")
+    # reference on ITS OWN BioNJ tree reaches -12323.74; ours uses an
+    # ML-distance BioNJ tree (topology fixed by the XML), so only
+    # sanity-bound here; same-topology parity is covered elsewhere
+    assert -12500 < lnl < -12300

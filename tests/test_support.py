@@ -1,0 +1,97 @@
+"""Branch supports, parsimony, simulator, checkpoint."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phyml_tpu.models.substitution import SubstModel
+from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+from phyml_tpu.ops.parsimony import parsimony_score
+from phyml_tpu.topology import Topology
+
+
+@pytest.fixture(scope="module")
+def hky(nucleic, ref_tree_a):
+    m = SubstModel(datatype="nt", name="HKY85", n_classes=4)
+    eng = LikelihoodEngine(nucleic, m, dtype=jnp.float64)
+    p = m.init_params(nucleic.obs_state_freqs)
+    return m, eng, p, ref_tree_a
+
+
+def test_parsimony_golden(hky):
+    m, eng, p, topo = hky
+    # golden A/D stats: Parsimony: 847 on the reference BioNJ tree
+    assert parsimony_score(eng, topo) == 847
+
+
+def test_abayes_supports_range(hky):
+    from phyml_tpu.search.support import alrt_supports
+    m, eng, p, topo = hky
+    s = alrt_supports(eng, m, p, topo, method="abayes")
+    vals = np.asarray(list(s.values()))
+    assert len(s) == topo.n_otu - 3
+    assert (vals >= 0).all() and (vals <= 1).all()
+    # strong data: most edges should be well supported
+    assert (vals > 0.9).mean() > 0.5
+
+
+def test_sh_support_positive_for_strong_edges(hky):
+    from phyml_tpu.search.support import alrt_supports
+    m, eng, p, topo = hky
+    s = alrt_supports(eng, m, p, topo, method="sh", n_rell=500,
+                      seed=3)
+    vals = np.asarray(list(s.values()))
+    assert (vals >= 0).all() and (vals <= 1).all()
+
+
+def test_bootstrap_weights_reuse_compiled(hky):
+    """A replicate weight vector must flow through without retrace
+    issues and change the likelihood."""
+    m, eng, p, topo = hky
+    ta = tree_arrays(topo.rooted(), dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    w = np.zeros(eng.P)
+    w[:eng.aln.n_patterns] = eng.aln.resample_weights(rng)
+    l_orig = float(eng.loglik(p, ta))
+    l_rep = float(eng.loglik(p, ta, jnp.asarray(w)))
+    assert abs(l_orig - l_rep) > 1.0
+    # same total site count
+    assert w.sum() == eng.aln.n_sites
+
+
+def test_simulator_roundtrip():
+    """Simulate on a known tree, re-estimate distances: the true tree
+    should be recovered by BioNJ for generous sequence length."""
+    from phyml_tpu.evolve import simulate_alignment
+    from phyml_tpu.io.alignment import compact
+    from phyml_tpu.datatypes import encode_sequences
+    from phyml_tpu.search.bionj import bionj_start
+
+    rng = np.random.default_rng(11)
+    true = Topology.random(10, rng, mean_blen=0.15)
+    m = SubstModel(datatype="nt", name="HKY85", n_classes=1,
+                   freqs_mode="fixed", fixed_freqs=np.full(4, 0.25))
+    params = m.init_params()
+    names, seqs = simulate_alignment(true, m, params, 20000, rng)
+    enc = encode_sequences(seqs, "nt")
+    aln = compact(enc, names, "nt")
+    eng = LikelihoodEngine(aln, m, dtype=jnp.float64)
+    rec = bionj_start(eng, m.init_params(aln.obs_state_freqs))
+    assert rec.rf_distance(true) == 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from phyml_tpu.utils.checkpoint import Checkpointer
+
+    rng = np.random.default_rng(5)
+    topo = Topology.random(8, rng)
+    params = {"kappa": jnp.asarray(4.2), "rr_val": jnp.zeros(6)}
+    ck = Checkpointer(str(tmp_path / "state.ckpt"), every_s=0)
+    assert ck.save(topo, params, "mid_search")
+    topo2, params2, stage = ck.resume()
+    assert stage == "mid_search"
+    assert topo2.rf_distance(topo) == 0
+    np.testing.assert_allclose(topo2.blen, topo.blen)
+    assert float(params2["kappa"]) == pytest.approx(4.2)
