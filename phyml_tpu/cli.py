@@ -42,7 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--ts_tv", default="e",
                    help="transition/transversion ratio (or 'e')")
     p.add_argument("-c", "--n_classes", type=int, default=4)
-    p.add_argument("-a", "--alpha", default="e",
+    # reference default: alpha FIXED at 1.0 unless `-a e`
+    # (Init_Scalar_Dbl init.c:31 defaults optimize=NO; only kappa is
+    #  estimated by default, Set_Defaults_Model init.c:688)
+    p.add_argument("-a", "--alpha", default="1.0",
                    help="gamma shape (or 'e' to estimate)")
     p.add_argument("-v", "--pinv", default="0.0",
                    help="proportion of invariant sites (or 'e')")
@@ -67,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_rand_starts", type=int, default=5)
     p.add_argument("--weights", default=None,
                    help="site-weight file")
+    p.add_argument("--ancestral", action="store_true",
+                   help="marginal ancestral state reconstruction "
+                        "(writes _phyml_ancestral_seq.txt + tree)")
     p.add_argument("--print_site_lnl", action="store_true")
     p.add_argument("--leave_duplicates", action="store_true")
     p.add_argument("--no_memory_check", action="store_true")
@@ -270,6 +276,13 @@ def run_analysis(args) -> int:
         ta = tree_arrays(topo.rooted(), dtype=dtype)
         write_site_lnl(f"{prefix}_phyml_lk.txt", aln,
                        engine.site_logliks(params, ta))
+    if args.ancestral:
+        from phyml_tpu.io.output import write_ancestral
+        from phyml_tpu.ops.ancestral import marginal_posteriors
+        rv = topo.rooted()
+        ta = tree_arrays(rv, dtype=dtype)
+        probs = marginal_posteriors(engine, params, ta)
+        write_ancestral(prefix, aln, topo, rv, probs, aln.datatype)
     if not args.quiet:
         print(f". Log-likelihood: {lnl:.5f}")
         print(f". Results written to {tree_path} and {stats_path}")

@@ -131,3 +131,22 @@ def leaf_names(node: NewickNode) -> list[str]:
 
     rec(node)
     return out
+
+
+def parse_newick_labeled(text: str) -> dict[str, frozenset]:
+    """Parse a tree whose internal nodes carry labels (the ancestral
+    tree written by --ancestral, ancestral.c:582-588) and return
+    {internal label: frozenset of descendant tip names}."""
+    root = parse_newick(text)
+    out: dict[str, frozenset] = {}
+
+    def rec(n: NewickNode) -> frozenset:
+        if n.is_leaf:
+            return frozenset([n.name])
+        tips = frozenset().union(*(rec(c) for c in n.children))
+        if n.support:
+            out[str(n.support)] = tips
+        return tips
+
+    rec(root)
+    return out

@@ -159,3 +159,49 @@ def write_site_lnl(path: str, aln, site_logliks) -> None:
         fh.write("Site\tlogLK\n")
         for i, v in enumerate(s):
             fh.write(f"{i + 1}\t{v:.6f}\n")
+
+
+def write_ancestral(prefix: str, aln, topo, rv, probs,
+                    datatype: str) -> tuple[str, str]:
+    """Ancestral reconstruction outputs (reference:
+    Ancestral_Sequences ancestral.c:527-600 file conventions):
+    <prefix>_phyml_ancestral_seq.txt — per (site, internal node) the
+    marginal posterior state probabilities + the MPEE ambiguity-aware
+    state call; <prefix>_phyml_ancestral_tree.txt — the tree with
+    internal node labels matching the table's NodeLabel column."""
+    from phyml_tpu.datatypes import state_alphabet
+    from phyml_tpu.ops.ancestral import mpee_decode, mask_to_char
+
+    probs = np.asarray(probs)                 # [n_internal, P, ns]
+    ns = probs.shape[-1]
+    chars = state_alphabet(datatype)
+    seq_path = f"{prefix}_phyml_ancestral_seq.txt"
+    tree_path = f"{prefix}_phyml_ancestral_tree.txt"
+
+    n = rv.n_otu
+    node_ids = [int(rv.unrooted_id[n + i])
+                for i in range(probs.shape[0])]
+    labels = {uid: str(uid) for uid in node_ids}
+    with open(tree_path, "w") as fh:
+        fh.write(topo.to_newick(aln.names, node_labels=labels) + "\n")
+
+    s2p = aln.site_to_pattern
+    masks = mpee_decode(probs[:, s2p, :])     # [n_internal, n_sites]
+    with open(seq_path, "w") as fh:
+        fh.write(". Marginal posterior probabilities of ancestral "
+                 "states at each site and each internal node.\n")
+        fh.write(". Node labels match those in "
+                 f"'{tree_path}'.\n")
+        fh.write(". State calls use the Minimum Posterior Expected "
+                 "Error (MPEE) criterion\n")
+        fh.write(". (Oliva et al. 2019, Bioinformatics 35(21)).\n\n")
+        fh.write("Site\tNodeLabel\t"
+                 + "\t".join(f"{c:>10}" for c in chars[:ns])
+                 + "\tMPEE\n")
+        for row, uid in enumerate(node_ids):
+            p_sites = probs[row][s2p]          # [n_sites, ns]
+            for site in range(aln.n_sites):
+                cells = "\t".join(f"{v:10g}" for v in p_sites[site])
+                fh.write(f"{site + 1:4d}\t{uid:9d}\t{cells}\t"
+                         f"{mask_to_char(int(masks[row, site]), datatype)}\n")
+    return seq_path, tree_path

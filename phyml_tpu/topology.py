@@ -429,10 +429,13 @@ class Topology:
     def to_newick(
         self, names: list[str], fmt: str = "%.8f",
         support: dict[int, str] | None = None,
+        node_labels: dict[int, str] | None = None,
     ) -> str:
         """Unrooted newick with a trifurcation at tip 0's neighbor
         (matching the reference's output rooting convention,
-        io.c:714 Write_Tree).  `support` maps edge id -> label."""
+        io.c:714 Write_Tree).  `support` maps edge id -> label;
+        `node_labels` maps internal (unrooted) node id -> label
+        (used by the ancestral-sequence tree, ancestral.c:582-588)."""
         adj = self.adjacency()
         start = adj[0][0][0]
 
@@ -445,6 +448,8 @@ class Topology:
             label = ""
             if support is not None and eid_in >= 0:
                 label = support.get(eid_in, "")
+            if node_labels is not None:
+                label = node_labels.get(u, label)
             out = "(" + ",".join(parts) + ")" + label
             if eid_in >= 0:
                 out += f":{fmt % self.blen[eid_in]}"
@@ -463,7 +468,10 @@ class Topology:
             rec(v, start, eid) for (v, eid) in adj[start] if v != 0
         ]
         sys.setrecursionlimit(old)
-        return "(" + ",".join(parts) + ");"
+        root_label = ""
+        if node_labels is not None:
+            root_label = node_labels.get(start, "")
+        return "(" + ",".join(parts) + ")" + root_label + ";"
 
     # ------------------------------------------------------------------
     # constructors
