@@ -70,6 +70,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_rand_starts", type=int, default=5)
     p.add_argument("--weights", default=None,
                    help="site-weight file")
+    # covarion (M4) family; the reference's --cov CLI (cl.c:69-74) is
+    # bit-rotted upstream (see tests/test_covarion.py docstring) but
+    # the option surface is preserved here
+    p.add_argument("--cov", action="store_true",
+                   help="covarion (M4) model: hidden rate classes "
+                        "with switching")
+    p.add_argument("--cov_delta", default=None,
+                   help="switching rate (value, or 'e' to estimate)")
+    p.add_argument("--cov_alpha", default=None,
+                   help="gamma shape of hidden-class rates (value or "
+                        "'e'); selects the --cov_alpha mode")
+    p.add_argument("--cov_ncats", type=int, default=3,
+                   help="number of hidden rate classes")
+    p.add_argument("--cov_free", action="store_true",
+                   help="free hidden-class rates and frequencies")
     p.add_argument("--ancestral", action="store_true",
                    help="marginal ancestral state reconstruction "
                         "(writes _phyml_ancestral_seq.txt + tree)")
@@ -113,6 +128,13 @@ def _build_model(args, aln):
             fixed = np.asarray([float(x) for x in f.split(",")])
             freqs_mode = "fixed"
     opt_r = "r" in args.optimize
+    use_cov = (args.cov or args.cov_free or args.cov_delta is not None
+               or args.cov_alpha is not None)
+    cov_mode = "fixed"
+    if args.cov_free:
+        cov_mode = "free"
+    elif args.cov_alpha is not None:
+        cov_mode = "alpha"
     model = SubstModel(
         datatype=aln.datatype,
         name=name,
@@ -121,10 +143,16 @@ def _build_model(args, aln):
         freerate=args.free_rates,
         freqs_mode=freqs_mode,
         fixed_freqs=fixed,
+        covarion=use_cov,
+        n_hidden=args.cov_ncats,
+        cov_mode=cov_mode,
         optimize_kappa=opt_r and args.ts_tv == "e",
         optimize_alpha=opt_r and args.alpha == "e",
         optimize_pinv=opt_r and args.pinv == "e",
         optimize_rr=opt_r,
+        optimize_cov=opt_r and (args.cov_delta == "e"
+                                or args.cov_alpha == "e"
+                                or args.cov_free),
     )
     return model
 
@@ -139,6 +167,11 @@ def _init_params(args, model, aln):
         params["alpha"] = jnp.asarray(float(args.alpha))
     if args.pinv != "e" and model.invar:
         params["pinv"] = jnp.asarray(float(args.pinv))
+    if model.covarion:
+        if args.cov_delta not in (None, "e"):
+            params["cov_delta"] = jnp.asarray(float(args.cov_delta))
+        if args.cov_alpha not in (None, "e") and "cov_alpha" in params:
+            params["cov_alpha"] = jnp.asarray(float(args.cov_alpha))
     return params
 
 

@@ -37,15 +37,21 @@ def build_q(S, pi):
     return q / mr[..., None, None]
 
 
-def reversible_eigen(S, pi):
+def reversible_eigen(S, pi, normalize: bool = True):
     """Return (lam [..., ns], V [..., ns, ns], Vinv [..., ns, ns])
-    such that Q = V diag(lam) Vinv with mean rate 1."""
+    such that Q = V diag(lam) Vinv with mean rate 1 (normalize=False
+    skips the mean-rate scaling - used by the covarion model, whose
+    M4-specific normalization counts observed substitutions only,
+    m4.c:463-474)."""
     ns = S.shape[-1]
     eye = jnp.eye(ns, dtype=S.dtype)
     pi = jnp.clip(pi, 1e-12, None)
     off = S * pi[..., None, :] * (1.0 - eye)
     diag = -jnp.sum(off, axis=-1)
-    mr = -jnp.sum(pi * diag, axis=-1)[..., None]
+    if normalize:
+        mr = -jnp.sum(pi * diag, axis=-1)[..., None]
+    else:
+        mr = jnp.ones_like(pi[..., :1])
     sqrt_pi = jnp.sqrt(pi)
     # B = D^{1/2} Q D^{-1/2}; built directly from off/diag (symmetric).
     b_off = off * (sqrt_pi[..., :, None] / sqrt_pi[..., None, :])

@@ -38,7 +38,10 @@ import numpy as np
 
 from phyml_tpu.models import dna as dna_mod
 from phyml_tpu.models import matrices
-from phyml_tpu.models.eigen import reversible_eigen
+from phyml_tpu.models.covarion import (
+    m4_exchangeabilities, m4_hidden_system,
+)
+from phyml_tpu.models.eigen import build_q, reversible_eigen
 from phyml_tpu.models.rates import discrete_gamma, freerate_normalize
 
 RR_MIN, RR_MAX = 0.01, 100.0  # utilities.h clamps for GTR rates
@@ -61,12 +64,20 @@ class SubstModel:
     # When set, n_classes == len(components) and each class has its own
     # Q (LG4X-style); otherwise a single Q is shared across classes.
     components: list | None = None
+    # Covarion (M4, m4.c): n_hidden rate classes over the observed
+    # process; cov_mode selects the hidden-multiplier parameterization
+    # ('fixed' = plain --cov, 'alpha' = --cov_alpha discrete-gamma,
+    # 'free' = --cov_free free freqs+multipliers; m4.c:338-396)
+    covarion: bool = False
+    n_hidden: int = 3
+    cov_mode: str = "fixed"
     # which scalar parameters are optimized (used by the optimizer)
     optimize_kappa: bool = True
     optimize_alpha: bool = True
     optimize_pinv: bool = False
     optimize_rr: bool = True
     optimize_freqs: bool = False
+    optimize_cov: bool = True
 
     def __post_init__(self):
         self.name = self.name.upper()
@@ -81,13 +92,28 @@ class SubstModel:
             # stats output shows f(.) = 0.25 regardless of data)
             self.freqs_mode = "fixed"
             self.fixed_freqs = np.full(4, 0.25)
+        if self.covarion:
+            if self.is_mixture:
+                raise ValueError("covarion cannot combine with "
+                                 "matrix mixtures")
+            if self.n_hidden < 2:
+                raise ValueError("covarion needs >= 2 hidden classes")
 
     # ------------------------------------------------------------------
     @property
-    def ns(self) -> int:
+    def obs_ns(self) -> int:
+        """Observed (alphabet) states - what tips are encoded over."""
         if self.components is not None:
             return int(self.components[0][0].shape[-1])
         return 4 if self.datatype == "nt" else 20
+
+    @property
+    def ns(self) -> int:
+        """Process states: obs_ns, times n_hidden under covarion
+        (mod->ns = n_o * n_h, init.c:6406)."""
+        if self.covarion:
+            return self.obs_ns * self.n_hidden
+        return self.obs_ns
 
     @property
     def is_mixture(self) -> bool:
@@ -97,7 +123,7 @@ class SubstModel:
         """Default parameter pytree (reference defaults:
         Set_Defaults_Model init.c:669 - kappa 4, alpha 1, pinv 0)."""
         p: dict[str, Any] = {}
-        ns = self.ns
+        ns = self.obs_ns
         if self.datatype == "nt":
             if self.name in ("K80", "HKY85", "F84", "TN93"):
                 p["kappa"] = jnp.asarray(4.0)
@@ -118,6 +144,18 @@ class SubstModel:
                 pass
         if self.invar:
             p["pinv"] = jnp.asarray(0.2)
+        if self.covarion:
+            # M4 defaults: delta = 1, cov alpha = 1, free-mode raws
+            # h_fq_unscaled = 1, multipl_unscaled = [0..n_h-1]
+            # (M4_Init_Model init.c:6431-6436)
+            p["cov_delta"] = jnp.asarray(1.0)
+            if self.cov_mode == "alpha":
+                p["cov_alpha"] = jnp.asarray(1.0)
+            elif self.cov_mode == "free":
+                p["cov_h_fq_raw"] = jnp.ones(self.n_hidden)
+                p["cov_multipl_raw"] = jnp.arange(
+                    self.n_hidden, dtype=jnp.float64
+                )
         if self.freqs_mode == "optimize":
             base = obs_freqs if obs_freqs is not None else np.full(ns, 1 / ns)
             p["freqs_raw"] = jnp.log(jnp.asarray(base, dtype=jnp.float64))
@@ -132,8 +170,8 @@ class SubstModel:
 
     # ------------------------------------------------------------------
     def _frequencies(self, params, comp_pi):
-        """Per-class pi [C, ns]."""
-        C, ns = self.n_classes, self.ns
+        """Per-class OBSERVED-state pi [C, obs_ns]."""
+        C, ns = self.n_classes, self.obs_ns
         if self.freqs_mode == "optimize":
             pi = jax.nn.softmax(params["freqs_raw"])
             return jnp.broadcast_to(pi, (C, ns))
@@ -151,7 +189,7 @@ class SubstModel:
         (used by ML pairwise distances, which the reference computes
         with the discrete-gamma distribution disabled, lk.c:1817-1824).
         """
-        C, ns = self.n_classes, self.ns
+        C, ns = self.n_classes, self.obs_ns
 
         # --- per-class rates & weights -------------------------------
         if self.is_mixture or self.freerate:
@@ -201,12 +239,56 @@ class SubstModel:
         pi = self._frequencies(params, comp_pi)
 
         # --- eigensystem (batched over classes) -----------------------
-        lam, V, Vinv = reversible_eigen(S, pi)
+        if self.covarion:
+            # M4: blow the observed system up to n_hidden * obs_ns
+            # states (m4.c:324 M4_Update_Qmat); the M4 normalization
+            # (observed substitutions only) replaces the mean-rate-1
+            # scaling, so eigen runs with normalize=False.
+            E = self._m4_observed_exch(params, S[0], pi[0])
+            h_fq, multipl = m4_hidden_system(self, params)
+            S_big, pi_big = m4_exchangeabilities(
+                E, pi[0], h_fq, multipl, params["cov_delta"]
+            )
+            S = jnp.broadcast_to(S_big, (C, self.ns, self.ns))
+            pi = jnp.broadcast_to(pi_big, (C, self.ns))
+            lam, V, Vinv = reversible_eigen(S, pi, normalize=False)
+        else:
+            lam, V, Vinv = reversible_eigen(S, pi)
         if fold_rates:
             lam = lam * rates[:, None]  # fold class rate into eigenvalues
 
         pinv = params.get("pinv", jnp.asarray(0.0))
         return lam, V, Vinv, pi, w, pinv
+
+    def _m4_observed_exch(self, params, S_base, o_pi):
+        """Observed-state exchangeabilities the M4 big-Q uses.
+
+        For DNA models other than GTR/CUSTOM the reference overwrites
+        the observed rates with the kappa1/kappa2 transition pattern
+        (m4.c:411-431, with A<->G = kappa2, C<->T = kappa1 - NOTE
+        this is flipped relative to PMat_TN93's convention).  For
+        GTR/CUSTOM/AA it seeds them from the base model's normalized
+        Q-matrix upper triangle (M4_Init_Model init.c:6417-6425),
+        which bakes one factor of pi_j into the 'exchangeability'.
+        """
+        if self.datatype == "nt" and self.name not in ("GTR", "CUSTOM"):
+            kappa = params.get("kappa", jnp.asarray(4.0))
+            if self.name == "F84":
+                lam_p = _f84_lambda_jnp(o_pi, kappa)
+            elif self.name == "TN93":
+                lam_p = params["lambda"]
+            else:
+                lam_p = jnp.asarray(1.0)
+            kappa2 = kappa * 2.0 / (1.0 + lam_p)
+            kappa1 = kappa2 * lam_p
+            E = jnp.ones((4, 4))
+            E = E.at[0, 2].set(kappa2).at[2, 0].set(kappa2)
+            E = E.at[1, 3].set(kappa1).at[3, 1].set(kappa1)
+            return E
+        q = build_q(S_base, o_pi)
+        n_o = q.shape[-1]
+        upper = jnp.triu(jnp.maximum(q, 1e-5), k=1)
+        return upper + upper.T
 
 
 def _f84_lambda_jnp(pi, kappa):

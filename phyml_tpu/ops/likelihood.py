@@ -108,6 +108,10 @@ class LikelihoodEngine:
         tips = np.transpose(aln.partials, (0, 2, 1))  # [n_otu, ns, P_raw]
         tips = np.pad(tips, ((0, 0), (0, 0), (0, pad)),
                       constant_values=1.0)
+        if self.ns != tips.shape[1]:
+            # covarion: replicate the observed-state tip vector for
+            # every hidden class (M4_Init_Partial_Lk_Tips m4.c:528)
+            tips = np.tile(tips, (1, self.ns // tips.shape[1], 1))
         self.tips = jnp.asarray(tips, dtype=dtype)
         self.weights = jnp.asarray(
             np.pad(aln.weights, (0, pad)), dtype=jnp.float64
@@ -271,6 +275,10 @@ class LikelihoodEngine:
         """Per-pattern invariant-site likelihood pi[invar_state]
         (lk.c:1240), 0 for non-invariant patterns."""
         pi_mix = jnp.einsum("c,cx->x", w, pi)
+        if self.model.covarion:
+            # invariant patterns are defined over OBSERVED states;
+            # marginalize the hidden classes out of pi
+            pi_mix = pi_mix.reshape(self.model.n_hidden, -1).sum(0)
         return pi_mix[self.invar_state] * self.invar_ok
 
     def _root_site_loglik(self, pup, sc, pi, w, pinv):
