@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of hidden rate classes")
     p.add_argument("--cov_free", action="store_true",
                    help="free hidden-class rates and frequencies")
+    p.add_argument("--cv", choices=["tip", "kfold.col", "kfold.pos"],
+                   default=None,
+                   help="cross-validation for model selection "
+                        "(reference cv.c / XML cv.type); writes "
+                        "_phyml_cv.txt")
     p.add_argument("--ancestral", action="store_true",
                    help="marginal ancestral state reconstruction "
                         "(writes _phyml_ancestral_seq.txt + tree)")
@@ -309,6 +314,35 @@ def run_analysis(args) -> int:
         ta = tree_arrays(topo.rooted(), dtype=dtype)
         write_site_lnl(f"{prefix}_phyml_lk.txt", aln,
                        engine.site_logliks(params, ta))
+    if args.cv:
+        from phyml_tpu.io.output import write_cv
+        from phyml_tpu.ops import crossval
+        ta = tree_arrays(topo.rooted(), dtype=dtype)
+        if args.cv == "tip":
+            res = crossval.tip_cv(engine, params, ta)
+            write_cv(f"{prefix}_phyml_cv.txt", aln, model, "tip", res)
+            if not args.quiet:
+                print(f". CV score (mean log predictive prob): "
+                      f"{res['score']:.6f}")
+        elif args.cv == "kfold.col":
+            total, folds = crossval.kfold_col_cv(
+                engine, model, params, ta, rng=rng,
+                verbose=not args.quiet,
+            )
+            write_cv(f"{prefix}_phyml_cv.txt", aln, model,
+                     "kfold.col", dict(score=total, folds=folds))
+            if not args.quiet:
+                print(f". CV held-out log-likelihood: {total:.4f}")
+        else:
+            def factory(a):
+                return LikelihoodEngine(a, model, dtype=dtype)
+            score, n_masked = crossval.kfold_pos_cv(
+                factory, aln, model, params, ta, rng=rng)
+            write_cv(f"{prefix}_phyml_cv.txt", aln, model,
+                     "kfold.pos", dict(score=score, n_masked=n_masked))
+            if not args.quiet:
+                print(f". CV score at {n_masked} masked cells: "
+                      f"{score:.4f}")
     if args.ancestral:
         from phyml_tpu.io.output import write_ancestral
         from phyml_tpu.ops.ancestral import marginal_posteriors

@@ -176,6 +176,37 @@ def write_site_lnl(path: str, aln, site_logliks) -> None:
             fh.write(f"{i + 1}\t{v:.6f}\n")
 
 
+def write_cv(path: str, aln, model, mode: str, res: dict) -> None:
+    """Cross-validation report (reference cv.c prints ###-prefixed
+    lines + a ROC table; here one structured text file)."""
+    with open(path, "w") as fh:
+        fh.write(f". Cross-validation mode: {mode}\n")
+        fh.write(f". Model: {model.name}\n")
+        fh.write(f". Score: {res['score']:.6f}\n")
+        if "folds" in res:
+            for k, v in enumerate(res["folds"]):
+                fh.write(f"  - fold {k + 1} held-out lnL: {v:.6f}\n")
+        if "n_masked" in res:
+            fh.write(f". Masked cells: {res['n_masked']}\n")
+        if "probs" in res:
+            from phyml_tpu.ops.crossval import roc_points
+            fpr, tpr = roc_points(res["probs"], res["truth"])
+            fh.write("\nROC (threshold, FPR, TPR):\n")
+            qs = np.linspace(0.0, 1.0, len(fpr))
+            for q, f, t in zip(qs, fpr, tpr):
+                fh.write(f"  {q:.2f}\t{f:.6f}\t{t:.6f}\n")
+            fh.write("\nSite\tTaxon\tlog predictive prob (truth)\n")
+            s2p = aln.site_to_pattern
+            lp = res["logpred"]
+            truth = res["truth"]
+            for site in range(aln.n_sites):
+                pat = s2p[site]
+                for t in range(aln.n_otu):
+                    if truth[t, pat] >= 0:
+                        fh.write(f"{site + 1}\t{aln.names[t]}\t"
+                                 f"{lp[t, pat]:.6f}\n")
+
+
 def write_ancestral(prefix: str, aln, topo, rv, probs,
                     datatype: str) -> tuple[str, str]:
     """Ancestral reconstruction outputs (reference:
