@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ancestral", action="store_true",
                    help="marginal ancestral state reconstruction "
                         "(writes _phyml_ancestral_seq.txt + tree)")
+    p.add_argument("--ps", action="store_true",
+                   help="write a PostScript phylogram "
+                        "(_phyml_tree.ps; reference draw.c)")
     p.add_argument("--print_site_lnl", action="store_true")
     p.add_argument("--leave_duplicates", action="store_true")
     p.add_argument("--no_memory_check", action="store_true")
@@ -314,6 +317,10 @@ def run_analysis(args) -> int:
         ta = tree_arrays(topo.rooted(), dtype=dtype)
         write_site_lnl(f"{prefix}_phyml_lk.txt", aln,
                        engine.site_logliks(params, ta))
+    if args.ps:
+        from phyml_tpu.io.draw import write_postscript
+        write_postscript(f"{prefix}_phyml_tree.ps", topo, aln.names,
+                         title=args.input)
     if args.cv:
         from phyml_tpu.io.output import write_cv
         from phyml_tpu.ops import crossval
