@@ -84,6 +84,7 @@ class LikelihoodEngine:
         model: SubstModel,
         dtype=jnp.float32,
         pattern_pad: int = 128,
+        use_pallas: bool | None = None,
     ):
         """To run SPMD over a device mesh, build the engine then
         re-place the pattern-axis arrays with a sharding
@@ -99,9 +100,20 @@ class LikelihoodEngine:
         self.n_nodes = 2 * self.n_otu - 1
         self.n_internal = self.n_otu - 1
 
+        # Fused Pallas kernel (ops/pallas_clv.py) replaces the scan up
+        # pass on TPU whenever the per-tile scratch fits VMEM; the
+        # pattern axis is padded to a multiple of its tile.
+        from phyml_tpu.ops.pallas_clv import tile_size
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and dtype == jnp.float32)
+        tile = tile_size(self.n_nodes, self.C, self.ns)
+        self.pallas_tile = tile if (use_pallas and tile >= 128) else 0
+
         P_raw = aln.n_patterns
-        self.P = max(pattern_pad, int(
-            math.ceil(P_raw / pattern_pad) * pattern_pad
+        quantum = max(pattern_pad, self.pallas_tile)
+        self.P = max(quantum, int(
+            math.ceil(P_raw / quantum) * quantum
         ))
         pad = self.P - P_raw
 
@@ -292,6 +304,11 @@ class LikelihoodEngine:
         lroot = jnp.maximum(lroot, self._tiny)
         a = jnp.log(w)[:, None] + sc[root] + jnp.log(lroot)  # [C, P]
         lse = jax.scipy.special.logsumexp(a, axis=0)         # [P]
+        return self._mix_invar(lse, pi, w, pinv)
+
+    def _mix_invar(self, lse, pi, w, pinv):
+        """Fold the +I invariant fraction into the variable-rate site
+        log-likelihoods (lk.c:820-837: L = (1-p) L_var + p pi[invar])."""
         if not self.model.invar:
             return lse
         inv_lk = self._inv_lk(pi, w)
@@ -303,6 +320,22 @@ class LikelihoodEngine:
             var_part,
         )
 
+    def _site_loglik_fused(self, params, tree: TreeArrays,
+                           interpret=False):
+        """Site log-likelihoods via the fused Pallas up-pass kernel
+        (ops/pallas_clv.py) - TPU path for plain full-tree likelihood
+        evaluations (bootstrap scoring, parameter Brent steps)."""
+        from phyml_tpu.ops.pallas_clv import uppass_site_lse
+        lam, V, Vinv, pi, w, pinv = self._system(params)
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        lse = uppass_site_lse(
+            tree.child, self.tips, pmats, pi,
+            jnp.log(jnp.maximum(w, self._tiny)),
+            n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
+            ns=self.ns, T=self.pallas_tile, interpret=interpret,
+        ).astype(self.dtype)
+        return self._mix_invar(lse, pi, w, pinv)
+
     # ------------------------------------------------------------------
     # public computations.  Every entry point takes the pattern-weight
     # vector as a traced ARGUMENT (not a baked closure constant) so
@@ -310,15 +343,21 @@ class LikelihoodEngine:
     # (mpi_boot.c:119-135) - reuse the same compiled executables.
     # ------------------------------------------------------------------
     def _loglik(self, params, tree: TreeArrays, weights):
-        lam, V, Vinv, pi, w, pinv = self._system(params)
-        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
-        pup, _, sc = self._up_pass(pmats, tree.child)
-        site = self._root_site_loglik(pup, sc, pi, w, pinv)
+        if self.pallas_tile:
+            site = self._site_loglik_fused(params, tree)
+        else:
+            lam, V, Vinv, pi, w, pinv = self._system(params)
+            pmats = self._pmats(lam, V, Vinv,
+                                tree.blen.astype(self.dtype))
+            pup, _, sc = self._up_pass(pmats, tree.child)
+            site = self._root_site_loglik(pup, sc, pi, w, pinv)
         return jnp.sum(site.astype(jnp.float64) * weights)
 
     _loglik_weighted = _loglik  # vmap-friendly alias
 
     def _site_logliks(self, params, tree: TreeArrays):
+        if self.pallas_tile:
+            return self._site_loglik_fused(params, tree)
         lam, V, Vinv, pi, w, pinv = self._system(params)
         pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
         pup, _, sc = self._up_pass(pmats, tree.child)

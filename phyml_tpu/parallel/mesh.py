@@ -74,5 +74,10 @@ def sharded_engine(aln, model, mesh: Mesh, dtype=None, axis="sites"):
     eng = LikelihoodEngine(
         aln, model, dtype=dtype,
         pattern_pad=128 * n_shards,
+        # The fused Pallas up-pass is a single-device program; with a
+        # sharded pattern axis the scan path lets XLA's SPMD
+        # partitioner split every op along sites (a shard_mapped
+        # variant of the kernel is future work).
+        use_pallas=False if n_shards > 1 else None,
     )
     return shard_pattern_arrays(eng, mesh, axis)
