@@ -1,0 +1,384 @@
+"""Jitted Metropolis-Hastings machinery (≙ mcmc.c, 14,901 lines).
+
+Design: the reference implements ~90 hand-specialized moves, each
+with its own partial-likelihood bookkeeping and tuning state
+(mcmc.c:6591-6668, MCMC_Adjust_Tuning_Parameter).  TPU-native, the
+chain state is a pytree, every move is one branch of a single
+`lax.switch` returning (proposed state, log-Hastings), the joint
+log-posterior is one pure function (likelihood-engine call + rate
+prior + time prior + calibrations + hyperpriors), and a whole batch
+of iterations runs on-device under `lax.scan`.  Moves that do not
+touch branch lengths skip the likelihood recompute via `lax.cond`
+(the reference's equivalent: per-move `Lk` on the affected subtree).
+
+Step-size auto-tuning happens on host between scan batches during
+burn-in, targeting the reference's acceptance window (0.234-0.44,
+MCMC_Adjust_Tuning_Parameter mcmc.c); tuned sizes are traced scan
+arguments, so retuning never recompiles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from phyml_tpu.bayes.rates import STRICT, RateModel
+from phyml_tpu.bayes.times import TimePrior
+from phyml_tpu.ops.likelihood import TreeArrays
+
+NEG_INF = -1e30
+
+
+class ChainState(NamedTuple):
+    heights: jnp.ndarray    # [2n-1] node heights (tips fixed)
+    log_r: jnp.ndarray      # [2n-1] per-edge log relative rates
+    log_clock: jnp.ndarray  # scalar
+    log_nu: jnp.ndarray     # scalar rate-variation hyperparam
+    hyper: dict             # birth/death/rho/theta/growth scalars
+    subst: dict             # substitution params (kappa, alpha, ...)
+    lnL: jnp.ndarray
+    lp: jnp.ndarray         # total prior log-density
+
+
+@dataclass
+class MCMCSettings:
+    n_iter: int = 20000
+    burnin: int = 2000
+    batch: int = 250        # iterations per on-device scan
+    thin: int = 10
+    seed: int = 0
+    tune_every: int = 250
+    target_accept: tuple = (0.234, 0.44)
+    clock_prior_mean_log: float = 0.0
+    clock_prior_sd_log: float = 3.0
+
+
+class MCMC:
+    """Joint sampler over (node times, lineage rates, clock,
+    hyperparameters, substitution parameters) on a fixed rooted
+    topology — the phytime posterior (date.c:779 DATE_MCMC)."""
+
+    MOVE_NAMES = [
+        "height_slide", "root_scale", "tree_scale", "clock_scale",
+        "rate_walk", "nu_scale", "hyper_scale", "subst_kappa",
+        "subst_alpha", "rates_clock_swap",
+    ]
+
+    def __init__(self, engine, model, subst_params, time_tree,
+                 rate_model: RateModel, time_prior: TimePrior,
+                 settings: MCMCSettings | None = None):
+        self.engine = engine
+        self.model = model
+        self.tt = time_tree
+        self.rate_model = rate_model
+        self.time_prior = time_prior.resolve(time_tree)
+        self.s = settings or MCMCSettings()
+
+        n = time_tree.n_otu
+        self.n_otu = n
+        self.n_nodes = time_tree.n_nodes
+        self.root = time_tree.root
+        self.child = jnp.asarray(time_tree.child, dtype=jnp.int32)
+        self.parent = jnp.asarray(time_tree.parent, dtype=jnp.int32)
+        self.tip_heights = jnp.asarray(time_tree.heights[:n])
+        self.subst_fixed = dict(subst_params)
+        self._movable_subst = [k for k in ("kappa", "alpha")
+                               if k in subst_params]
+        self.hyper_names = self.time_prior.hyper_names()
+
+        # per-move step sizes (tuned on host during burn-in)
+        self.step = np.array([
+            0.5,   # height_slide (fraction of the (lo,hi) window: n/a)
+            0.5,   # root_scale log-multiplier width
+            0.2,   # tree_scale
+            0.3,   # clock_scale
+            0.3,   # rate_walk sd
+            0.5,   # nu_scale
+            0.3,   # hyper_scale
+            0.3,   # kappa
+            0.3,   # alpha
+            0.3,   # rates_clock_swap
+        ])
+        w = np.array([
+            3.0 * (n - 2), 2.0, 2.0, 2.0,
+            (1.5 * (2 * n - 2)) if rate_model.kind != STRICT else 0.0,
+            2.0 if rate_model.kind != STRICT else 0.0,
+            2.0 * len(self.hyper_names), 1.0, 1.0,
+            2.0 if rate_model.kind != STRICT else 0.0,
+        ])
+        if "kappa" not in subst_params:
+            w[7] = 0.0
+        if "alpha" not in subst_params:
+            w[8] = 0.0
+        self.move_w = jnp.asarray(w / w.sum())
+
+        self._jit_batch = jax.jit(self._run_batch,
+                                  static_argnames=("n_steps",))
+
+    # ------------------------------------------------------------------
+    # joint posterior
+    # ------------------------------------------------------------------
+    def _blen(self, state: ChainState):
+        dt = (state.heights[self.parent] - state.heights
+              ).at[self.root].set(0.0)
+        rates = self.rate_model.rates(state.log_r, self.root)
+        blen = jnp.exp(state.log_clock) * rates * dt
+        return blen.at[self.root].set(0.0), dt
+
+    def _lnL(self, state: ChainState):
+        blen, _ = self._blen(state)
+        tree = TreeArrays(child=self.child,
+                          blen=blen.astype(self.engine.dtype))
+        subst = {**self.subst_fixed, **state.subst}
+        return self.engine._loglik(subst, tree, self.engine.weights)
+
+    def _log_prior(self, state: ChainState):
+        dt = (state.heights[self.parent] - state.heights
+              ).at[self.root].set(0.0)
+        feasible = jnp.min(dt) >= -1e-12
+        nu = jnp.exp(state.log_nu)
+        lp = self.rate_model.log_prior(state.log_r, dt, self.parent,
+                                       nu, self.root)
+        lp = lp + self.time_prior.log_prior(state.heights, self.n_otu,
+                                            state.hyper)
+        lp = lp + self.time_prior.log_calibrations(state.heights)
+        # hyperpriors: Exp(1) on positive hypers + nu, N(m, sd) on
+        # log clock, N(0, 3^2) on growth
+        for nm in self.hyper_names:
+            v = state.hyper[nm]
+            if nm == "growth":
+                lp = lp - 0.5 * (v / 3.0) ** 2
+            elif nm == "rho":
+                pass  # fixed/uniform on (0,1]
+            else:
+                lp = lp - v
+        lp = lp - nu
+        z = ((state.log_clock - self.s.clock_prior_mean_log)
+             / self.s.clock_prior_sd_log)
+        lp = lp - 0.5 * z * z
+        return jnp.where(feasible, lp, NEG_INF)
+
+    # ------------------------------------------------------------------
+    # moves: each returns (proposed_state, log_hastings, affects_lk)
+    # ------------------------------------------------------------------
+    def _mv_height_slide(self, st, key, step):
+        k1, k2 = jax.random.split(key)
+        # random internal non-root node
+        i = jax.random.randint(k1, (), 0, self.n_otu - 2)
+        u = self.n_otu + i
+        lo = jnp.maximum(st.heights[self.child[i, 0]],
+                         st.heights[self.child[i, 1]])
+        hi = st.heights[self.parent[u]]
+        h = jax.random.uniform(k2, (), minval=lo, maxval=hi)
+        return st._replace(heights=st.heights.at[u].set(h)), 0.0, True
+
+    def _mv_root_scale(self, st, key, step):
+        i = self.root - self.n_otu
+        lo = jnp.maximum(st.heights[self.child[i, 0]],
+                         st.heights[self.child[i, 1]])
+        m = jnp.exp(step * (jax.random.uniform(key, ()) - 0.5))
+        h = lo + m * (st.heights[self.root] - lo)
+        return (st._replace(heights=st.heights.at[self.root].set(h)),
+                jnp.log(m), True)
+
+    def _mv_tree_scale(self, st, key, step):
+        m = jnp.exp(step * (jax.random.uniform(key, ()) - 0.5))
+        h = st.heights.at[self.n_otu:].multiply(m)
+        log_h = (self.n_otu - 1) * jnp.log(m)
+        return st._replace(heights=h), log_h, True
+
+    def _mv_clock_scale(self, st, key, step):
+        d = step * (jax.random.uniform(key, ()) - 0.5)
+        return st._replace(log_clock=st.log_clock + d), 0.0, True
+
+    def _mv_rate_walk(self, st, key, step):
+        k1, k2 = jax.random.split(key)
+        u = jax.random.randint(k1, (), 0, self.n_nodes - 1)
+        d = step * jax.random.normal(k2, ())
+        return (st._replace(log_r=st.log_r.at[u].add(d)), 0.0, True)
+
+    def _mv_nu_scale(self, st, key, step):
+        d = step * (jax.random.uniform(key, ()) - 0.5)
+        return st._replace(log_nu=st.log_nu + d), 0.0, False
+
+    def _mv_hyper_scale(self, st, key, step):
+        if not self.hyper_names:
+            return st, 0.0, False
+        k1, k2 = jax.random.split(key)
+        j = jax.random.randint(k1, (), 0, len(self.hyper_names))
+        hyper = dict(st.hyper)
+        log_h = jnp.asarray(0.0)
+        for idx, nm in enumerate(self.hyper_names):
+            if nm == "growth":
+                prop = hyper[nm] + step * jax.random.normal(k2, ())
+                lh = 0.0
+            elif nm == "rho":
+                prop = hyper[nm]  # held fixed
+                lh = 0.0
+            else:
+                m = jnp.exp(step * (jax.random.uniform(k2, ()) - 0.5))
+                prop = hyper[nm] * m
+                lh = jnp.log(m)
+            hyper[nm] = jnp.where(j == idx, prop, hyper[nm])
+            log_h = jnp.where(j == idx, lh, log_h)
+        return st._replace(hyper=hyper), log_h, False
+
+    def _mv_subst(self, name, lo, hi):
+        def mv(st, key, step):
+            if name not in st.subst:
+                return st, 0.0, False
+            m = jnp.exp(step * (jax.random.uniform(key, ()) - 0.5))
+            v = jnp.clip(st.subst[name] * m, lo, hi)
+            subst = dict(st.subst)
+            subst[name] = v
+            return st._replace(subst=subst), jnp.log(m), True
+        return mv
+
+    def _mv_rates_clock_swap(self, st, key, step):
+        """Mixing move: scale all relative rates by m and the clock by
+        1/m — leaves branch lengths (and lnL) invariant, moves the
+        prior decomposition (≙ MCMC_Rates_Shrink-style moves)."""
+        log_m = step * (jax.random.uniform(key, ()) - 0.5)
+        # pure translation in (log_r, log_clock) space: |J| = 1 and the
+        # proposal is symmetric, so the Hastings term vanishes
+        return (st._replace(log_r=st.log_r + log_m,
+                            log_clock=st.log_clock - log_m),
+                0.0, False)
+
+    # ------------------------------------------------------------------
+    def _step(self, st: ChainState, key, steps):
+        kmv, kprop, kacc = jax.random.split(key, 3)
+        mv = jax.random.choice(kmv, len(self.MOVE_NAMES),
+                               p=self.move_w)
+        branches = [
+            self._mv_height_slide, self._mv_root_scale,
+            self._mv_tree_scale, self._mv_clock_scale,
+            self._mv_rate_walk, self._mv_nu_scale,
+            self._mv_hyper_scale,
+            self._mv_subst("kappa", 0.05, 100.0),
+            self._mv_subst("alpha", 0.01, 100.0),
+            self._mv_rates_clock_swap,
+        ]
+
+        def branch(fn, i):
+            def run(st_key):
+                st_, key_ = st_key
+                prop, lh, aff = fn(st_, key_, steps[i])
+                return prop, jnp.asarray(lh, dtype=jnp.float64), \
+                    jnp.asarray(aff)
+            return run
+
+        prop, log_h, affects = lax.switch(
+            mv, [branch(f, i) for i, f in enumerate(branches)],
+            (st, kprop))
+
+        lp_new = self._log_prior(prop)
+        lnL_new = lax.cond(
+            affects & (lp_new > NEG_INF / 2),
+            lambda p: jnp.asarray(self._lnL(p), dtype=jnp.float64),
+            lambda p: st.lnL, prop)
+        log_alpha = (lnL_new + lp_new) - (st.lnL + st.lp) + log_h
+        accept = jnp.log(jax.random.uniform(kacc, ())) < log_alpha
+        prop = prop._replace(lnL=lnL_new, lp=lp_new)
+        new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), prop, st)
+        return new, mv, accept
+
+    def _run_batch(self, st: ChainState, key, steps, n_steps: int):
+        def body(carry, k):
+            st, tries, accs = carry
+            st, mv, acc = self._step(st, k, steps)
+            tries = tries.at[mv].add(1)
+            accs = accs.at[mv].add(acc.astype(jnp.int32))
+            trace = jnp.stack([
+                st.lnL + st.lp, st.lnL, st.heights[self.root],
+                st.log_clock, st.log_nu,
+            ])
+            return (st, tries, accs), trace
+
+        keys = jax.random.split(key, n_steps)
+        tries = jnp.zeros(len(self.MOVE_NAMES), dtype=jnp.int32)
+        accs = jnp.zeros(len(self.MOVE_NAMES), dtype=jnp.int32)
+        (st, tries, accs), trace = lax.scan(body, (st, tries, accs),
+                                            keys)
+        return st, tries, accs, trace
+
+    # ------------------------------------------------------------------
+    def init_state(self, subst_params=None) -> ChainState:
+        heights = jnp.asarray(self.tt.heights, dtype=jnp.float64)
+        st = ChainState(
+            heights=heights,
+            log_r=jnp.zeros(self.n_nodes, dtype=jnp.float64),
+            log_clock=jnp.asarray(0.0, dtype=jnp.float64),
+            log_nu=jnp.asarray(-1.0, dtype=jnp.float64),
+            hyper=self.time_prior.default_hyper(),
+            subst={k: v for k, v in
+                   (subst_params or self.subst_fixed).items()
+                   if k in self._movable_subst},
+            lnL=jnp.asarray(0.0, dtype=jnp.float64),
+            lp=jnp.asarray(0.0, dtype=jnp.float64),
+        )
+        lnL = jnp.asarray(self._lnL(st), dtype=jnp.float64)
+        return st._replace(lnL=lnL, lp=self._log_prior(st))
+
+    def run(self, state: ChainState | None = None, trace_fh=None,
+            verbose=False):
+        """Run the chain; returns (final state, trace [T, 5],
+        acceptance-rate vector).  Trace columns: posterior, lnL,
+        root height, log clock, log nu (≙ the phytime trace file,
+        mcmc.c:2588 MCMC_Print_Param)."""
+        s = self.s
+        st = state if state is not None else self.init_state()
+        steps = jnp.asarray(self.step)
+        done = 0
+        traces = []
+        tot_tries = np.zeros(len(self.MOVE_NAMES), dtype=np.int64)
+        tot_accs = np.zeros(len(self.MOVE_NAMES), dtype=np.int64)
+        key = jax.random.PRNGKey(s.seed)
+        if trace_fh is not None:
+            trace_fh.write("iter\tposterior\tlnL\troot_height\t"
+                           "clock\tnu\n")
+        while done < s.n_iter:
+            n = min(s.batch, s.n_iter - done)
+            key, sub = jax.random.split(key)
+            st, tries, accs, trace = self._jit_batch(st, sub, steps,
+                                                     n_steps=n)
+            tries = np.asarray(tries)
+            accs = np.asarray(accs)
+            tot_tries += tries
+            tot_accs += accs
+            traces.append(np.asarray(trace))
+            if trace_fh is not None:
+                tr = np.asarray(trace)
+                for j in range(0, n, s.thin):
+                    it = done + j
+                    trace_fh.write(
+                        f"{it}\t{tr[j,0]:.4f}\t{tr[j,1]:.4f}\t"
+                        f"{tr[j,2]:.6f}\t{np.exp(tr[j,3]):.6g}\t"
+                        f"{np.exp(tr[j,4]):.6g}\n")
+            done += n
+            if done <= s.burnin:
+                # host-side tuning (≙ MCMC_Adjust_Tuning_Parameter)
+                rate = accs / np.maximum(tries, 1)
+                lo, hi = s.target_accept
+                for i in range(len(self.step)):
+                    if i == 0 or tries[i] == 0:
+                        continue  # window slide is self-tuning
+                    if rate[i] < lo:
+                        self.step[i] *= 0.7
+                    elif rate[i] > hi:
+                        self.step[i] *= 1.4
+                self.step = np.clip(self.step, 1e-4, 20.0)
+                steps = jnp.asarray(self.step)
+            if verbose:
+                print(f"  mcmc iter {done}/{s.n_iter} "
+                      f"posterior={float(st.lnL + st.lp):.3f} "
+                      f"lnL={float(st.lnL):.3f}")
+        acc_rate = tot_accs / np.maximum(tot_tries, 1)
+        return st, np.concatenate(traces, axis=0), acc_rate

@@ -1,0 +1,185 @@
+"""Node-time priors and calibrations (≙ times.c, date.c calibrations).
+
+The reference's TIMES_Lk dispatches on the tree-generating model:
+birth-death with incomplete sampling (times.c:1610), Yule
+(times.c:445-660), coalescent with constant or exponentially growing
+effective size (times.c:851/:938), and calibrated-uniform
+(times.c:417).  Calibrations are per-clade bounds/densities attached
+to MRCA nodes (`t_cal`/`t_clad` utilities.h:2197-2227, read from XML
+by XML_Read_Calibration xml.c:2417).
+
+Here each prior is a pure log-density over the internal-height vector;
+calibrations become differentiable soft/hard bound terms added to the
+joint posterior.  Everything is jnp-traceable for the jitted MCMC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+BIRTHDEATH = "birthdeath"
+YULE = "yule"
+COALESCENT = "coalescent"
+EXPCOALESCENT = "expcoalescent"
+UNIFORM = "uniform"
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class Calibration:
+    """Clade calibration: bounds on the MRCA height of `taxa`
+    (≙ t_cal utilities.h:2197; XML <calibration> with <lower>/<upper>).
+    node is resolved against a TimeTree at setup."""
+    taxa: tuple
+    lower: float = 0.0
+    upper: float = float("inf")
+    node: int = -1
+
+    def resolved(self, tt) -> "Calibration":
+        idx = [tt.names.index(t) if isinstance(t, str) else int(t)
+               for t in self.taxa]
+        node = tt.mrca(idx) if len(idx) > 1 else idx[0]
+        return Calibration(taxa=self.taxa, lower=self.lower,
+                           upper=self.upper, node=node)
+
+
+@dataclass(frozen=True)
+class TimePrior:
+    """Prior over node heights.
+
+    kind: 'yule' | 'birthdeath' | 'coalescent' | 'expcoalescent' |
+    'uniform'.  Hyperparameters enter via the MCMC state so they can
+    be sampled:
+      yule/birthdeath: birth (lambda), death (mu), sampling rho
+      coalescent: theta (= 2*Ne in pairwise-rate units)
+      expcoalescent: theta0, growth g  (Ne(t) = N0 * exp(-g t))
+    """
+
+    kind: str = BIRTHDEATH
+    calibrations: tuple = field(default_factory=tuple)
+
+    def resolve(self, tt) -> "TimePrior":
+        return TimePrior(
+            kind=self.kind,
+            calibrations=tuple(c.resolved(tt) for c in self.calibrations),
+        )
+
+    # ------------------------------------------------------------------
+    def log_prior(self, heights, n_otu: int, hyper: dict):
+        """log p(node heights | hyper) (≙ TIMES_Lk)."""
+        n_nodes = heights.shape[0]
+        root = n_nodes - 1
+        internal = heights[n_otu:]
+        t_root = heights[root]
+        if self.kind == UNIFORM:
+            # calibrated-uniform (times.c:417): flat within the
+            # feasible region; the MCMC's bound-respecting moves plus
+            # calibration terms do the conditioning
+            return jnp.asarray(0.0, dtype=heights.dtype)
+        if self.kind in (YULE, BIRTHDEATH):
+            lam = jnp.maximum(hyper["birth"], 1e-10)
+            if self.kind == YULE:
+                mu = jnp.zeros_like(lam)
+                rho = jnp.ones_like(lam)
+            else:
+                mu = jnp.maximum(hyper["death"], 0.0)
+                rho = jnp.clip(hyper.get("rho", jnp.asarray(1.0)),
+                               1e-10, 1.0)
+            # Gernhard (2008) / Stadler conditioned reconstructed
+            # birth-death with sampling rho (≙ TIMES_Lk_Birth_Death
+            # times.c:1610): density of the n-1 internal node times
+            # given the root age, each iid with density
+            #   f(t) = lam * p1(t) / (1 - P0(t_root-ish))  — we use the
+            # standard joint form: prod over internals lam*p1(t_i),
+            # times p1(t_root), in log space.
+            r = lam - mu
+
+            def log_p1(t):
+                # p1(t) = rho r^2 e^{-rt} / (rho lam + (lam(1-rho)-mu) e^{-rt})^2
+                ert = jnp.exp(-r * t)
+                denom = rho * lam + (lam * (1 - rho) - mu) * ert
+                return (jnp.log(rho) + 2 * jnp.log(jnp.maximum(r, 1e-300))
+                        - r * t
+                        - 2 * jnp.log(jnp.maximum(denom, 1e-300)))
+
+            # internal nodes excluding the root each contribute a
+            # birth + its p1; the root contributes p1 alone
+            lp_all = jnp.sum(jnp.log(lam) + log_p1(internal))
+            return lp_all - jnp.log(lam)
+        if self.kind == COALESCENT:
+            theta = jnp.maximum(hyper["theta"], 1e-10)
+            return self._coalescent_lp(
+                heights, n_otu,
+                rate=lambda t: 2.0 / theta,
+                cum=lambda a, b: 2.0 * (b - a) / theta)
+        if self.kind == EXPCOALESCENT:
+            theta = jnp.maximum(hyper["theta"], 1e-10)
+            g = hyper["growth"]
+            # Ne(t) = N0 e^{-g t} looking backwards => pairwise rate
+            # 2/theta * e^{g t}; integral analytic
+            return self._coalescent_lp(
+                heights, n_otu,
+                rate=lambda t: (2.0 / theta) * jnp.exp(g * t),
+                cum=lambda a, b: jnp.where(
+                    jnp.abs(g) < 1e-12,
+                    2.0 * (b - a) / theta,
+                    (2.0 / (theta * jnp.where(jnp.abs(g) < 1e-12, 1.0, g)))
+                    * (jnp.exp(g * b) - jnp.exp(g * a))))
+        raise ValueError(self.kind)
+
+    def _coalescent_lp(self, heights, n_otu, rate, cum):
+        """Piecewise-interval coalescent density with serial sampling
+        (≙ TIMES_Lk_Coalescent times.c:851)."""
+        n_nodes = heights.shape[0]
+        delta = jnp.concatenate([
+            jnp.ones((n_otu,), dtype=heights.dtype),
+            -jnp.ones((n_nodes - n_otu,), dtype=heights.dtype),
+        ])
+        order = jnp.argsort(heights)
+        t = heights[order]
+        d = delta[order]
+        k = jnp.cumsum(d)                       # lineages after event i
+        kk = k[:-1]                             # on interval (t_i, t_{i+1})
+        pair = kk * (kk - 1.0) / 2.0
+        waiting = -pair * cum(t[:-1], t[1:])
+        coal_rate = rate(t[1:])
+        coal = jnp.where(d[1:] < 0,
+                         jnp.log(jnp.maximum(coal_rate, 1e-300)), 0.0)
+        return jnp.sum(waiting) + jnp.sum(coal)
+
+    # ------------------------------------------------------------------
+    def log_calibrations(self, heights):
+        """Hard-bound calibration terms: 0 inside [lower, upper],
+        -inf outside (≙ the calibrated-node uniform densities of
+        date.c/invitee.c; soft densities can be added per-calibration
+        later)."""
+        if not self.calibrations:
+            return jnp.asarray(0.0, dtype=heights.dtype)
+        lp = jnp.asarray(0.0, dtype=heights.dtype)
+        for c in self.calibrations:
+            h = heights[c.node]
+            ok = (h >= c.lower) & (h <= (c.upper
+                                         if np.isfinite(c.upper)
+                                         else 1e30))
+            lp = lp + jnp.where(ok, 0.0, NEG_INF)
+        return lp
+
+    def hyper_names(self) -> tuple:
+        return {
+            YULE: ("birth",),
+            BIRTHDEATH: ("birth", "death", "rho"),
+            COALESCENT: ("theta",),
+            EXPCOALESCENT: ("theta", "growth"),
+            UNIFORM: (),
+        }[self.kind]
+
+    def default_hyper(self) -> dict:
+        return {
+            "birth": jnp.asarray(1.0), "death": jnp.asarray(0.5),
+            "rho": jnp.asarray(1.0), "theta": jnp.asarray(1.0),
+            "growth": jnp.asarray(0.0),
+        }

@@ -1,0 +1,234 @@
+"""Bayesian tier tests: time-trees, priors, and MCMC correctness.
+
+Strategy (the reference has none — built per SURVEY.md §4): unit-test
+the prior densities against closed forms, validate the chronogram
+machinery, and run short chains checking (a) the reference's own
+runtime invariant — incrementally tracked lnL equals a from-scratch
+recompute (≙ date.c:1013-1031 consistency asserts) — and (b) that
+sampling under a constant-size coalescent prior with no data moves
+heights while respecting feasibility.
+"""
+
+import numpy as np
+import pytest
+
+
+def _sim_alignment(tt, rng, n_sites=120, kappa=4.0):
+    """Simulate nt data down the chronogram under HKY85, clock=1."""
+    from phyml_tpu.evolve import simulate_alignment
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.topology import Topology
+
+    # convert rooted tree to an unrooted Topology for the simulator
+    # by suppressing the root node
+    n = tt.n_otu
+    par = tt.parent
+    dt = tt.edge_durations()
+    edges = []
+    blen = []
+    # map: tips keep ids; internal non-root keep ids (minus nothing)
+    for u in range(tt.n_nodes - 1):
+        p = par[u]
+        if p == tt.root:
+            continue
+        edges.append((u, p))
+        blen.append(dt[u])
+    r0, r1 = tt.child[-1]
+    edges.append((int(r0), int(r1)))
+    blen.append(dt[r0] + dt[r1])
+    topo = Topology(n, np.asarray(edges), np.asarray(blen))
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    params = model.init_params(np.full(4, 0.25))
+    params["kappa"] = kappa
+    from phyml_tpu.datatypes import encode_sequences
+    from phyml_tpu.io.alignment import compact
+    _, seqs = simulate_alignment(topo, model, params, n_sites, rng)
+    return compact(encode_sequences(seqs, "nt"), list(tt.names), "nt")
+
+
+def test_timetree_roundtrip_and_mrca():
+    from phyml_tpu.bayes.chrono import TimeTree
+    rng = np.random.default_rng(0)
+    tt = TimeTree.coalescent(8, rng)
+    tt.validate()
+    dt = tt.edge_durations()
+    assert dt[tt.root] == 0.0
+    assert np.all(dt[:-1] >= 0)
+    # MRCA of all tips is the root
+    assert tt.mrca(list(range(8))) == tt.root
+    # MRCA of a cherry is its parent
+    c0, c1 = tt.child[0]
+    if c0 < 8 and c1 < 8:
+        assert tt.mrca([int(c0), int(c1)]) == 8
+    nwk = tt.to_newick()
+    assert nwk.endswith(";") and nwk.count("(") == 7
+
+
+def test_from_topology_feasible():
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.topology import Topology
+    rng = np.random.default_rng(1)
+    topo = Topology.random(10, rng)
+    tt = TimeTree.from_topology(topo, names=[f"t{i}" for i in range(10)])
+    tt.validate()
+    assert tt.heights[tt.root] == tt.heights.max()
+
+
+def test_coalescent_prior_closed_form():
+    """Constant-Ne Kingman density: for 3 contemporaneous tips with
+    coalescences at t1 < t2, log p = -3 dt1/theta - dt2... computed
+    directly: waiting k=3 over (0,t1) rate 3*2/2 * 2/theta = 6/theta,
+    k=2 over (t1,t2) rate 2/theta; each coalescence adds
+    log(2/theta)."""
+    import jax.numpy as jnp
+    from phyml_tpu.bayes.times import TimePrior
+    theta = 2.5
+    t1, t2 = 0.3, 1.1
+    heights = jnp.asarray([0.0, 0.0, 0.0, t1, t2])
+    prior = TimePrior(kind="coalescent")
+    lp = float(prior.log_prior(heights, 3, {"theta": jnp.asarray(theta)}))
+    expect = (-3.0 * (2.0 / theta) * t1
+              - 1.0 * (2.0 / theta) * (t2 - t1)
+              + 2 * np.log(2.0 / theta))
+    assert lp == pytest.approx(expect, rel=1e-10)
+
+
+def test_yule_vs_birthdeath_consistency():
+    """Yule == birth-death with mu=0, rho=1."""
+    import jax.numpy as jnp
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.times import TimePrior
+    rng = np.random.default_rng(2)
+    tt = TimeTree.coalescent(6, rng)
+    h = jnp.asarray(tt.heights)
+    hy = {"birth": jnp.asarray(1.3)}
+    hbd = {"birth": jnp.asarray(1.3), "death": jnp.asarray(0.0),
+           "rho": jnp.asarray(1.0)}
+    lp_y = float(TimePrior(kind="yule").log_prior(h, 6, hy))
+    lp_bd = float(TimePrior(kind="birthdeath").log_prior(h, 6, hbd))
+    assert lp_y == pytest.approx(lp_bd, rel=1e-8)
+
+
+def test_lognormal_rate_prior_mean_one():
+    """The iid lognormal rate prior is the N(-nu^2/2, nu^2) density of
+    log r — check against scipy-free closed form at a point."""
+    import jax.numpy as jnp
+    from phyml_tpu.bayes.rates import RateModel
+    rm = RateModel(kind="lognormal")
+    n_nodes = 5
+    log_r = jnp.asarray([0.1, -0.2, 0.05, 0.3, 999.0])  # root slot last
+    dt = jnp.ones(n_nodes)
+    parent = jnp.asarray([4, 4, 4, 4, 4])
+    nu = 0.4
+    lp = float(rm.log_prior(log_r, dt, parent, jnp.asarray(nu), 4))
+    mu = -0.5 * nu * nu
+    z = (np.asarray(log_r[:4]) - mu) / nu
+    expect = np.sum(-0.5 * (z * z + np.log(2 * np.pi)) - np.log(nu))
+    assert lp == pytest.approx(expect, rel=1e-10)
+
+
+def test_calibration_bounds():
+    import jax.numpy as jnp
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.times import Calibration, TimePrior
+    rng = np.random.default_rng(3)
+    tt = TimeTree.coalescent(6, rng)
+    root_h = tt.heights[tt.root]
+    prior = TimePrior(kind="yule", calibrations=(
+        Calibration(taxa=tuple(tt.names), lower=root_h * 0.5,
+                    upper=root_h * 2.0),
+    )).resolve(tt)
+    h = jnp.asarray(tt.heights)
+    assert float(prior.log_calibrations(h)) == 0.0
+    bad = h.at[tt.root].set(root_h * 3.0)
+    assert float(prior.log_calibrations(bad)) < -1e20
+
+
+def test_mcmc_consistency_and_sampling():
+    """Short real-data chain: cached lnL must equal a from-scratch
+    recompute at the end (≙ date.c:1013 DEBUG assert); heights stay
+    feasible; acceptance rates are sane; the clock posterior moves
+    toward the simulated truth's scale."""
+    import jax.numpy as jnp
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.mcmc import MCMC, MCMCSettings
+    from phyml_tpu.bayes.rates import RateModel
+    from phyml_tpu.bayes.times import TimePrior
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+
+    rng = np.random.default_rng(7)
+    tt = TimeTree.coalescent(6, rng, theta=0.4)
+    aln = _sim_alignment(tt, rng, n_sites=150)
+
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    engine = LikelihoodEngine(aln, model)
+    params = model.init_params(aln.obs_state_freqs)
+
+    mcmc = MCMC(engine, model, params, tt, RateModel(kind="lognormal"),
+                TimePrior(kind="coalescent"),
+                MCMCSettings(n_iter=400, burnin=200, batch=100,
+                             seed=11))
+    st, trace, acc = mcmc.run()
+
+    # (a) incremental lnL == recompute
+    lnL_re = float(mcmc._lnL(st))
+    assert float(st.lnL) == pytest.approx(lnL_re, abs=1e-6)
+    # (b) feasibility
+    heights = np.asarray(st.heights)
+    par = np.asarray(mcmc.parent)
+    dt = heights[par] - heights
+    dt[tt.root] = 0.0
+    assert dt.min() >= -1e-9
+    # (c) the chain moved and the posterior did not collapse
+    assert np.isfinite(trace[:, 0]).all()
+    assert trace[:, 0].std() > 0
+    tried = acc[np.asarray(mcmc.move_w) > 0]
+    assert np.all(tried <= 1.0)
+
+
+def test_run_phytime_driver(tmp_path):
+    """End-to-end driver: trace file written, chronogram parseable,
+    summary fields populated."""
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.date import print_summary, run_phytime
+    from phyml_tpu.bayes.mcmc import MCMCSettings
+    from phyml_tpu.bayes.times import Calibration
+    import io
+
+    rng = np.random.default_rng(5)
+    tt = TimeTree.coalescent(5, rng, theta=0.5)
+    aln = _sim_alignment(tt, rng, n_sites=100)
+    root_h = tt.heights[tt.root]
+    res = run_phytime(
+        aln, tt, rate_kind="strict", prior_kind="yule",
+        calibrations=[Calibration(taxa=tuple(tt.names),
+                                  lower=0.5 * root_h,
+                                  upper=2.0 * root_h)],
+        settings=MCMCSettings(n_iter=200, burnin=100, batch=50,
+                              seed=3),
+        trace_path=str(tmp_path / "trace.tsv"),
+    )
+    txt = (tmp_path / "trace.tsv").read_text()
+    assert txt.startswith("iter\t")
+    assert len(txt.splitlines()) > 5
+    assert res.summary["root_height"] >= 0.5 * root_h - 1e-9
+    assert res.summary["root_height"] <= 2.0 * root_h + 1e-9
+    buf = io.StringIO()
+    print_summary(res, out=buf)
+    assert "chronogram" in buf.getvalue()
+
+
+def test_calibrations_from_xml(tmp_path):
+    from phyml_tpu.bayes.date import calibrations_from_xml
+    xml = """<phytime>
+      <clade id="c1"><taxon value="A"/><taxon value="B"/></clade>
+      <calibration clade.id="c1"><lower>10</lower><upper>20</upper>
+      </calibration>
+    </phytime>"""
+    p = tmp_path / "cal.xml"
+    p.write_text(xml)
+    cals = calibrations_from_xml(str(p))
+    assert len(cals) == 1
+    assert cals[0].taxa == ("A", "B")
+    assert cals[0].lower == 10.0 and cals[0].upper == 20.0
