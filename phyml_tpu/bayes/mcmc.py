@@ -42,6 +42,8 @@ class ChainState(NamedTuple):
     log_nu: jnp.ndarray     # scalar rate-variation hyperparam
     hyper: dict             # birth/death/rho/theta/growth scalars
     subst: dict             # substitution params (kappa, alpha, ...)
+    log_s2x: jnp.ndarray    # scalar: log trait/location sigma^2
+    trait_lr: jnp.ndarray   # [2n-1] RRW log edge scalers (phyrex)
     lnL: jnp.ndarray
     lp: jnp.ndarray         # total prior log-density
 
@@ -67,18 +69,28 @@ class MCMC:
     MOVE_NAMES = [
         "height_slide", "root_scale", "tree_scale", "clock_scale",
         "rate_walk", "nu_scale", "hyper_scale", "subst_kappa",
-        "subst_alpha", "rates_clock_swap",
+        "subst_alpha", "rates_clock_swap", "trait_s2", "trait_scaler",
     ]
 
     def __init__(self, engine, model, subst_params, time_tree,
                  rate_model: RateModel, time_prior: TimePrior,
-                 settings: MCMCSettings | None = None):
+                 settings: MCMCSettings | None = None,
+                 trait_x=None, trait_kind: str = "rrw",
+                 trait_nu: float = 1.0):
+        """trait_x [n_otu, D] (optional): observed tip coordinates /
+        continuous traits; when given, the chain jointly samples the
+        movement model (trait_kind in rw/rrw/ibm/iwn/iou) — the
+        phyrex posterior (PHYREX_MCMC phyrex.c:1234) with the
+        genealogy informed by both sequences and locations."""
         self.engine = engine
         self.model = model
         self.tt = time_tree
         self.rate_model = rate_model
         self.time_prior = time_prior.resolve(time_tree)
         self.s = settings or MCMCSettings()
+        self.trait_x = None if trait_x is None else jnp.asarray(trait_x)
+        self.trait_kind = trait_kind
+        self.trait_nu = trait_nu
 
         n = time_tree.n_otu
         self.n_otu = n
@@ -104,13 +116,19 @@ class MCMC:
             0.3,   # kappa
             0.3,   # alpha
             0.3,   # rates_clock_swap
+            0.5,   # trait_s2
+            0.5,   # trait_scaler
         ])
+        has_tr = trait_x is not None
         w = np.array([
             3.0 * (n - 2), 2.0, 2.0, 2.0,
             (1.5 * (2 * n - 2)) if rate_model.kind != STRICT else 0.0,
             2.0 if rate_model.kind != STRICT else 0.0,
             2.0 * len(self.hyper_names), 1.0, 1.0,
             2.0 if rate_model.kind != STRICT else 0.0,
+            2.0 if has_tr else 0.0,
+            (1.5 * (2 * n - 2)) if has_tr and trait_kind == "rrw"
+            else 0.0,
         ])
         if "kappa" not in subst_params:
             w[7] = 0.0
@@ -162,6 +180,24 @@ class MCMC:
         z = ((state.log_clock - self.s.clock_prior_mean_log)
              / self.s.clock_prior_sd_log)
         lp = lp - 0.5 * z * z
+        if self.trait_x is not None:
+            # location/trait likelihood rides in the prior slot so it
+            # is recomputed for every move touching heights or the
+            # movement parameters (it is cheap relative to the
+            # sequence likelihood)
+            from phyml_tpu.bayes.traits import location_loglik
+            s2x = jnp.exp(state.log_s2x)
+            dtc = jnp.maximum(dt, 0.0)
+            if self.trait_kind in ("rw", "rrw"):
+                lk_x = location_loglik(
+                    self.trait_kind, self.trait_x, self.child, dtc,
+                    s2x, log_scalers=state.trait_lr,
+                    nu=jnp.asarray(self.trait_nu))
+            else:
+                lk_x = location_loglik(
+                    self.trait_kind, self.trait_x,
+                    np.asarray(self.child), dtc, s2x)
+            lp = lp + lk_x - s2x  # Exp(1) hyperprior on sigma^2
         return jnp.where(feasible, lp, NEG_INF)
 
     # ------------------------------------------------------------------
@@ -251,6 +287,17 @@ class MCMC:
                             log_clock=st.log_clock - log_m),
                 0.0, False)
 
+    def _mv_trait_s2(self, st, key, step):
+        d = step * (jax.random.uniform(key, ()) - 0.5)
+        return st._replace(log_s2x=st.log_s2x + d), 0.0, False
+
+    def _mv_trait_scaler(self, st, key, step):
+        k1, k2 = jax.random.split(key)
+        u = jax.random.randint(k1, (), 0, self.n_nodes - 1)
+        d = step * jax.random.normal(k2, ())
+        return (st._replace(trait_lr=st.trait_lr.at[u].add(d)),
+                0.0, False)
+
     # ------------------------------------------------------------------
     def _step(self, st: ChainState, key, steps):
         kmv, kprop, kacc = jax.random.split(key, 3)
@@ -264,6 +311,8 @@ class MCMC:
             self._mv_subst("kappa", 0.05, 100.0),
             self._mv_subst("alpha", 0.01, 100.0),
             self._mv_rates_clock_swap,
+            self._mv_trait_s2,
+            self._mv_trait_scaler,
         ]
 
         def branch(fn, i):
@@ -321,6 +370,8 @@ class MCMC:
             subst={k: v for k, v in
                    (subst_params or self.subst_fixed).items()
                    if k in self._movable_subst},
+            log_s2x=jnp.asarray(0.0, dtype=jnp.float64),
+            trait_lr=jnp.zeros(self.n_nodes, dtype=jnp.float64),
             lnL=jnp.asarray(0.0, dtype=jnp.float64),
             lp=jnp.asarray(0.0, dtype=jnp.float64),
         )

@@ -1,0 +1,159 @@
+"""PhyREX driver: joint Bayesian phylogeography (≙ phyrex.c
+PHYREX_XML/PHYREX_Lk/PHYREX_MCMC phyrex.c:37/1130/1234).
+
+The reference's PhyREX couples the sequence likelihood with a spatial
+model of lineage movement (relaxed random walk and its integrated
+relatives; the SLFV event-disk model is the other branch of
+location.c's dispatch).  Here the same joint posterior runs through
+the `bayes.mcmc` machinery: sequences via the likelihood engine,
+coordinates via `bayes.traits` (RW/RRW/IBM/IWN/IOU), node times /
+clock / movement parameters all sampled in one chain.
+
+Post-processing reconstructs ancestral locations for the Brownian
+family as exact Gaussian conditional means E[x_internal | x_tips]
+(the GLS form of PHYREX's sampled ancestral locations).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from phyml_tpu.bayes.chrono import TimeTree
+from phyml_tpu.bayes.mcmc import MCMC, MCMCSettings
+from phyml_tpu.bayes.rates import RateModel
+from phyml_tpu.bayes.times import TimePrior
+
+
+@dataclass
+class PhyrexResult:
+    tree: TimeTree
+    state: object
+    trace: np.ndarray
+    acc_rate: np.ndarray
+    sigma2: float               # movement variance per unit time
+    anc_locations: np.ndarray   # [n_nodes, D] (tips = observed)
+    summary: dict
+
+
+def _mrca_all(child, n):
+    """[n_nodes, n_nodes] MRCA ids (host-side, topology-only)."""
+    n_nodes = 2 * n - 1
+    parent = np.full(n_nodes, n_nodes - 1, dtype=np.int64)
+    for i in range(n - 1):
+        parent[child[i, 0]] = n + i
+        parent[child[i, 1]] = n + i
+    paths = []
+    for u in range(n_nodes):
+        p = [u]
+        while p[-1] != n_nodes - 1:
+            p.append(int(parent[p[-1]]))
+        paths.append(p)
+    M = np.zeros((n_nodes, n_nodes), dtype=np.int64)
+    for i in range(n_nodes):
+        si = set(paths[i])
+        for j in range(n_nodes):
+            M[i, j] = next(x for x in paths[j] if x in si)
+    return M, parent
+
+
+def ancestral_locations(tt: TimeTree, tip_x, sigma2,
+                        edge_scalers=None, root_var=1e4):
+    """Exact BM/RRW conditional means of internal-node locations given
+    tip locations (≙ PHYREX_Ldsk_To_Tree location sampling, done in
+    closed form instead of by simulation)."""
+    n = tt.n_otu
+    n_nodes = tt.n_nodes
+    dt = tt.edge_durations()
+    ev = sigma2 * dt
+    if edge_scalers is not None:
+        ev = ev * np.asarray(edge_scalers)
+    M, parent = _mrca_all(np.asarray(tt.child), n)
+    # cum[u] = variance accumulated root -> u
+    cum = np.zeros(n_nodes)
+    for u in range(n_nodes - 2, -1, -1):
+        cum[u] = cum[parent[u]] + ev[u]
+    C = root_var + cum[M]                     # [n_nodes, n_nodes]
+    S = C[:n, :n]
+    Sinv_x = np.linalg.solve(S, np.asarray(tip_x))
+    out = C[:, :n] @ Sinv_x                   # conditional means
+    out[:n] = np.asarray(tip_x)
+    return out
+
+
+def run_phyrex(
+    aln,
+    coords,
+    time_tree: TimeTree,
+    model=None,
+    trait_kind: str = "rrw",
+    rate_kind: str = "lognormal",
+    prior_kind: str = "coalescent",
+    settings: MCMCSettings | None = None,
+    trace_path: str | None = None,
+    verbose: bool = False,
+) -> PhyrexResult:
+    """Joint sequence + coordinate analysis on a fixed rooted
+    topology.  `coords` [n_otu, D] in taxon order (lat/lon or any
+    Euclidean projection, ≙ the <coordinates> blocks of phyrex XML)."""
+    import jax.numpy as jnp
+
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+
+    if model is None:
+        model = SubstModel(datatype=aln.datatype, name=(
+            "HKY85" if aln.datatype == "nt" else "LG"), n_classes=4)
+    engine = LikelihoodEngine(aln, model)
+    params = model.init_params(aln.obs_state_freqs)
+
+    mcmc = MCMC(engine, model, params, time_tree,
+                RateModel(kind=rate_kind), TimePrior(kind=prior_kind),
+                settings=settings or MCMCSettings(),
+                trait_x=np.asarray(coords), trait_kind=trait_kind)
+    fh = open(trace_path, "w") if trace_path else None
+    try:
+        state, trace, acc = mcmc.run(trace_fh=fh, verbose=verbose)
+    finally:
+        if fh:
+            fh.close()
+
+    heights = np.asarray(state.heights)
+    dated = TimeTree(n_otu=time_tree.n_otu,
+                     child=np.asarray(time_tree.child),
+                     heights=heights, names=list(time_tree.names))
+    s2 = float(np.exp(state.log_s2x))
+    scalers = (np.exp(np.asarray(state.trait_lr))
+               if trait_kind == "rrw" else None)
+    if trait_kind in ("rw", "rrw"):
+        anc = ancestral_locations(dated, coords, s2,
+                                  edge_scalers=scalers)
+    else:
+        anc = np.full((dated.n_nodes, np.asarray(coords).shape[1]),
+                      np.nan)
+        anc[:dated.n_otu] = coords
+    summary = {
+        "n_iter": trace.shape[0],
+        "posterior_final": float(trace[-1, 0]),
+        "lnL_final": float(trace[-1, 1]),
+        "root_height": float(heights[dated.root]),
+        "sigma2": s2,
+        "root_location": anc[dated.root].tolist(),
+        "clock_rate": float(np.exp(state.log_clock)),
+        "acceptance": {nm: float(a) for nm, a
+                       in zip(MCMC.MOVE_NAMES, acc)},
+    }
+    return PhyrexResult(tree=dated, state=state, trace=trace,
+                        acc_rate=acc, sigma2=s2, anc_locations=anc,
+                        summary=summary)
+
+
+def print_summary(res: PhyrexResult, out=sys.stdout) -> None:
+    s = res.summary
+    out.write(". PhyREX-equivalent joint phylogeography summary\n")
+    for k in ("n_iter", "posterior_final", "lnL_final", "root_height",
+              "sigma2", "clock_rate"):
+        out.write(f"  {k:18s} {s[k]}\n")
+    out.write(f"  root location:     {s['root_location']}\n")
