@@ -78,12 +78,20 @@ def run_phytime(
     settings: MCMCSettings | None = None,
     trace_path: str | None = None,
     verbose: bool = False,
+    fastlk: bool = False,
 ) -> DateResult:
-    """Full dating analysis on a fixed rooted topology."""
-    import jax.numpy as jnp
+    """Full dating analysis on a fixed rooted topology.
+
+    fastlk=True swaps the exact likelihood for the quadratic normal
+    approximation around the starting branch lengths (the reference's
+    --fastlk, Lk_Normal_Approx lk.c:2521)."""
+    import jax
 
     from phyml_tpu.models.substitution import SubstModel
     from phyml_tpu.ops.likelihood import LikelihoodEngine
+
+    # float64 chain scalars are a hard requirement (see MCMC.__init__)
+    jax.config.update("jax_enable_x64", True)
 
     if model is None:
         model = SubstModel(datatype=aln.datatype, name=(
@@ -95,7 +103,7 @@ def run_phytime(
                       calibrations=tuple(calibrations or ()))
     mcmc = MCMC(engine, model, params, time_tree,
                 RateModel(kind=rate_kind), prior,
-                settings=settings or MCMCSettings())
+                settings=settings or MCMCSettings(), fastlk=fastlk)
 
     fh = open(trace_path, "w") if trace_path else None
     try:

@@ -76,15 +76,23 @@ class MCMC:
                  rate_model: RateModel, time_prior: TimePrior,
                  settings: MCMCSettings | None = None,
                  trait_x=None, trait_kind: str = "rrw",
-                 trait_nu: float = 1.0):
+                 trait_nu: float = 1.0, fastlk: bool = False):
         """trait_x [n_otu, D] (optional): observed tip coordinates /
         continuous traits; when given, the chain jointly samples the
         movement model (trait_kind in rw/rrw/ibm/iwn/iou) — the
         phyrex posterior (PHYREX_MCMC phyrex.c:1234) with the
         genealogy informed by both sequences and locations."""
+        # The chain accumulates |lnL| ~ 1e3-1e5 and audits per-move
+        # consistency to ~1e-5 (≙ date.c:1013-1031); float32 rounding
+        # (0.01-1 log units at that magnitude) would corrupt the
+        # Metropolis accept ratios, so the whole bayes tier requires
+        # real float64 scalars.
+        jax.config.update("jax_enable_x64", True)
         self.engine = engine
         self.model = model
         self.tt = time_tree
+        self.fastlk = fastlk
+        self._normal_approx = None
         self.rate_model = rate_model
         self.time_prior = time_prior.resolve(time_tree)
         self.s = settings or MCMCSettings()
@@ -134,7 +142,23 @@ class MCMC:
             w[7] = 0.0
         if "alpha" not in subst_params:
             w[8] = 0.0
+        if fastlk:
+            # expansion is only valid at the expansion-point model
+            w[7] = w[8] = 0.0
+            self._movable_subst = []
         self.move_w = jnp.asarray(w / w.sum())
+
+        if fastlk:
+            from phyml_tpu.optim.fastlk import fit_normal_approx
+            h = np.asarray(time_tree.heights, dtype=np.float64)
+            dt0 = h[np.asarray(time_tree.parent)] - h
+            dt0[self.root] = 0.0
+            tree0 = TreeArrays(
+                child=self.child,
+                blen=jnp.asarray(np.maximum(dt0, 0.0),
+                                 dtype=engine.dtype))
+            self._normal_approx = fit_normal_approx(
+                engine, self.subst_fixed, tree0, engine.weights)
 
         self._jit_batch = jax.jit(self._run_batch,
                                   static_argnames=("n_steps",))
@@ -151,6 +175,14 @@ class MCMC:
 
     def _lnL(self, state: ChainState):
         blen, _ = self._blen(state)
+        if self._normal_approx is not None:
+            # --fastlk path (≙ Lk_Normal_Approx lk.c:2521): quadratic
+            # expansion of lnL around the expansion-point branch
+            # lengths — no tree traversal per move.  Only valid while
+            # substitution parameters stay at their expansion values,
+            # so fastlk chains hold them fixed (as the reference does).
+            return self._normal_approx.loglik(
+                blen.astype(self.engine.dtype))
         tree = TreeArrays(child=self.child,
                           blen=blen.astype(self.engine.dtype))
         subst = {**self.subst_fixed, **state.subst}
@@ -172,8 +204,6 @@ class MCMC:
             v = state.hyper[nm]
             if nm == "growth":
                 lp = lp - 0.5 * (v / 3.0) ** 2
-            elif nm == "rho":
-                pass  # fixed/uniform on (0,1]
             else:
                 lp = lp - v
         lp = lp - nu
@@ -254,9 +284,6 @@ class MCMC:
             if nm == "growth":
                 prop = hyper[nm] + step * jax.random.normal(k2, ())
                 lh = 0.0
-            elif nm == "rho":
-                prop = hyper[nm]  # held fixed
-                lh = 0.0
             else:
                 m = jnp.exp(step * (jax.random.uniform(k2, ()) - 0.5))
                 prop = hyper[nm] * m
@@ -270,10 +297,16 @@ class MCMC:
             if name not in st.subst:
                 return st, 0.0, False
             m = jnp.exp(step * (jax.random.uniform(key, ()) - 0.5))
-            v = jnp.clip(st.subst[name] * m, lo, hi)
+            v = st.subst[name] * m
+            # A proposal outside [lo, hi] is REJECTED (log-Hastings
+            # -inf), not clipped: clipping puts an atom at the bound
+            # with no matching reverse density and biases the
+            # posterior near the bounds.
+            ok = (v >= lo) & (v <= hi)
             subst = dict(st.subst)
-            subst[name] = v
-            return st._replace(subst=subst), jnp.log(m), True
+            subst[name] = jnp.where(ok, v, st.subst[name])
+            lh = jnp.where(ok, jnp.log(m), NEG_INF)
+            return st._replace(subst=subst), lh, True
         return mv
 
     def _mv_rates_clock_swap(self, st, key, step):

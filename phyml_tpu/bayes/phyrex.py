@@ -98,10 +98,13 @@ def run_phyrex(
     """Joint sequence + coordinate analysis on a fixed rooted
     topology.  `coords` [n_otu, D] in taxon order (lat/lon or any
     Euclidean projection, ≙ the <coordinates> blocks of phyrex XML)."""
-    import jax.numpy as jnp
+    import jax
 
     from phyml_tpu.models.substitution import SubstModel
     from phyml_tpu.ops.likelihood import LikelihoodEngine
+
+    # float64 chain scalars are a hard requirement (see MCMC.__init__)
+    jax.config.update("jax_enable_x64", True)
 
     if model is None:
         model = SubstModel(datatype=aln.datatype, name=(

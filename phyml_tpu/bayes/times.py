@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,7 +55,7 @@ class TimePrior:
     kind: 'yule' | 'birthdeath' | 'coalescent' | 'expcoalescent' |
     'uniform'.  Hyperparameters enter via the MCMC state so they can
     be sampled:
-      yule/birthdeath: birth (lambda), death (mu), sampling rho
+      yule/birthdeath: birth (lambda), death (mu)
       coalescent: theta (= 2*Ne in pairwise-rate units)
       expcoalescent: theta0, growth g  (Ne(t) = N0 * exp(-g t))
     """
@@ -81,35 +82,54 @@ class TimePrior:
             # calibration terms do the conditioning
             return jnp.asarray(0.0, dtype=heights.dtype)
         if self.kind in (YULE, BIRTHDEATH):
-            lam = jnp.maximum(hyper["birth"], 1e-10)
-            if self.kind == YULE:
-                mu = jnp.zeros_like(lam)
-                rho = jnp.ones_like(lam)
-            else:
-                mu = jnp.maximum(hyper["death"], 0.0)
-                rho = jnp.clip(hyper.get("rho", jnp.asarray(1.0)),
-                               1e-10, 1.0)
-            # Gernhard (2008) / Stadler conditioned reconstructed
-            # birth-death with sampling rho (≙ TIMES_Lk_Birth_Death
-            # times.c:1610): density of the n-1 internal node times
-            # given the root age, each iid with density
-            #   f(t) = lam * p1(t) / (1 - P0(t_root-ish))  — we use the
-            # standard joint form: prod over internals lam*p1(t_i),
-            # times p1(t_root), in log space.
-            r = lam - mu
+            b = jnp.maximum(hyper["birth"], 1e-10)
+            d = (jnp.zeros_like(b) if self.kind == YULE
+                 else jnp.maximum(hyper["death"], 0.0))
+            # Density of internal node ages CONDITIONED on the root
+            # age under the reconstructed birth-death process with
+            # complete sampling (≙ TIMES_Lk_Birth_Death times.c:1610;
+            # Yang & Rannala 1997 eq. 6 with rho = 1): each of the
+            # n-2 non-root internal nodes contributes
+            #   log b + log p1(t) - log nut1(troot)
+            # where p1(t) = (b-d)^2 e^{-(b-d)t} / (b - d e^{-(b-d)t})^2
+            # and nut1(s) = 1 - pt(s) e^{-(b-d)s},
+            #       pt(s) = (b-d)/(b - d e^{-(b-d)s}).
+            # b < d is hard-rejected (times.c:1634: return UNLIKELY).
+            ti = jnp.abs(internal[:-1])          # non-root internals
+            troot = jnp.abs(t_root)
+            bmd = b - d
+            n = n_otu
 
-            def log_p1(t):
-                # p1(t) = rho r^2 e^{-rt} / (rho lam + (lam(1-rho)-mu) e^{-rt})^2
-                ert = jnp.exp(-r * t)
-                denom = rho * lam + (lam * (1 - rho) - mu) * ert
-                return (jnp.log(rho) + 2 * jnp.log(jnp.maximum(r, 1e-300))
-                        - r * t
-                        - 2 * jnp.log(jnp.maximum(denom, 1e-300)))
+            # --- general case b > d > 0 (times.c:1672-1706) ---------
+            bmd_s = jnp.where(bmd > 1e-8, bmd, 1.0)   # guard NaNs in
+            d_s = jnp.maximum(d, 1e-300)              # unused branches
+            den_root = jnp.maximum(b - d_s * jnp.exp(-bmd_s * troot),
+                                   1e-300)
+            pt = bmd_s / den_root
+            nut1 = jnp.maximum(1.0 - pt * jnp.exp(-bmd_s * troot),
+                               1e-300)
+            log_p1 = (2.0 * jnp.log(bmd_s) - bmd_s * ti
+                      - 2.0 * jnp.log(jnp.maximum(
+                          b - d_s * jnp.exp(-bmd_s * ti), 1e-300)))
+            lp_gen = jnp.sum(jnp.log(b) + log_p1 - jnp.log(nut1))
 
-            # internal nodes excluding the root each contribute a
-            # birth + its p1; the root contributes p1 alone
-            lp_all = jnp.sum(jnp.log(lam) + log_p1(internal))
-            return lp_all - jnp.log(lam)
+            # --- Yule case d ~ 0 (times.c:1714-1738) ----------------
+            lognut1_y = jnp.log(jnp.maximum(-jnp.expm1(-b * troot),
+                                            1e-300))
+            lp_yule = jnp.sum(jnp.log(b) - b * ti - lognut1_y)
+
+            # --- critical case b ~ d (times.c:1761-1786; Yang &
+            # Rannala eq. 7 with rho = 1) ----------------------------
+            lp_crit = jnp.sum(jnp.log1p(d)
+                              - 2.0 * jnp.log1p(d_s * ti))
+
+            lp = jnp.where(d < 1e-8, lp_yule,
+                           jnp.where(jnp.abs(bmd) < 1e-8, lp_crit,
+                                     lp_gen))
+            lp = lp + jax.scipy.special.gammaln(float(n) - 1.0)
+            return jnp.where(bmd < -1e-8,
+                             jnp.asarray(NEG_INF, dtype=heights.dtype),
+                             lp)
         if self.kind == COALESCENT:
             theta = jnp.maximum(hyper["theta"], 1e-10)
             return self._coalescent_lp(
@@ -169,9 +189,12 @@ class TimePrior:
         return lp
 
     def hyper_names(self) -> tuple:
+        # NB: no "rho" — the reference's conditioned density fixes
+        # the sampling fraction at 1 (times.c:1610) and never samples
+        # it, so it is not a chain parameter here either.
         return {
             YULE: ("birth",),
-            BIRTHDEATH: ("birth", "death", "rho"),
+            BIRTHDEATH: ("birth", "death"),
             COALESCENT: ("theta",),
             EXPCOALESCENT: ("theta", "growth"),
             UNIFORM: (),
@@ -180,6 +203,6 @@ class TimePrior:
     def default_hyper(self) -> dict:
         return {
             "birth": jnp.asarray(1.0), "death": jnp.asarray(0.5),
-            "rho": jnp.asarray(1.0), "theta": jnp.asarray(1.0),
+            "theta": jnp.asarray(1.0),
             "growth": jnp.asarray(0.0),
         }

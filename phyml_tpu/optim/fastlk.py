@@ -12,7 +12,9 @@ through the whole pruning recursion — and the approximation
     lnL(b) ~= lnL0 + g.(b-b0) + (b-b0)' H (b-b0) / 2
 
 replaces the full traversal inside MCMC moves, turning each
-likelihood evaluation into a vector-matrix-vector product.
+likelihood evaluation into a vector-matrix-vector product.  Wired
+into the bayes tier as `MCMC(..., fastlk=True)` /
+`run_phytime(..., fastlk=True)`.
 """
 
 from __future__ import annotations

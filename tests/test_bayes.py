@@ -94,7 +94,7 @@ def test_coalescent_prior_closed_form():
 
 
 def test_yule_vs_birthdeath_consistency():
-    """Yule == birth-death with mu=0, rho=1."""
+    """Yule == birth-death with mu=0."""
     import jax.numpy as jnp
     from phyml_tpu.bayes.chrono import TimeTree
     from phyml_tpu.bayes.times import TimePrior
@@ -102,11 +102,109 @@ def test_yule_vs_birthdeath_consistency():
     tt = TimeTree.coalescent(6, rng)
     h = jnp.asarray(tt.heights)
     hy = {"birth": jnp.asarray(1.3)}
-    hbd = {"birth": jnp.asarray(1.3), "death": jnp.asarray(0.0),
-           "rho": jnp.asarray(1.0)}
+    hbd = {"birth": jnp.asarray(1.3), "death": jnp.asarray(0.0)}
     lp_y = float(TimePrior(kind="yule").log_prior(h, 6, hy))
     lp_bd = float(TimePrior(kind="birthdeath").log_prior(h, 6, hbd))
     assert lp_y == pytest.approx(lp_bd, rel=1e-8)
+
+
+def test_birthdeath_conditioned_closed_form():
+    """Reference TIMES_Lk_Birth_Death (times.c:1610): per non-root
+    internal node at age t, lnL += log b + logp1(t) - log nut1(troot)
+    with p1 from Yang & Rannala 1997 eq. 6 (rho=1), plus lgamma(n-1);
+    death >= birth is hard-rejected (times.c:1634)."""
+    import math
+
+    import jax.numpy as jnp
+    from phyml_tpu.bayes.times import TimePrior
+
+    b, d = 2.0, 0.8
+    t1, troot = 0.4, 1.0
+    # 3 tips at height 0; internals at t1 and troot (root last)
+    h = jnp.asarray([0.0, 0.0, 0.0, t1, troot])
+    prior = TimePrior(kind="birthdeath")
+    lp = float(prior.log_prior(
+        h, 3, {"birth": jnp.asarray(b), "death": jnp.asarray(d)}))
+
+    bmd = b - d
+    logp1 = (2 * math.log(bmd) - bmd * t1
+             - 2 * math.log(b - d * math.exp(-bmd * t1)))
+    pt = bmd / (b - d * math.exp(-bmd * troot))
+    nut1 = 1.0 - pt * math.exp(-bmd * troot)
+    expect = (math.log(b) + logp1 - math.log(nut1)
+              + math.lgamma(3 - 1))
+    assert lp == pytest.approx(expect, rel=1e-10)
+
+    # death > birth: reject, never evaluate garbage logs
+    lp_bad = float(prior.log_prior(
+        h, 3, {"birth": jnp.asarray(0.5), "death": jnp.asarray(2.0)}))
+    assert lp_bad < -1e20
+
+
+def test_fastlk_normal_approx_parity():
+    """The --fastlk quadratic surface must match the exact lnL at the
+    expansion point and to o(|db|^2) nearby (≙ Lk_Normal_Approx
+    lk.c:2521 being trustworthy near the optimum)."""
+    import jax.numpy as jnp
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, TreeArrays
+    from phyml_tpu.optim.fastlk import fit_normal_approx
+    from phyml_tpu.topology import Topology
+
+    rng = np.random.default_rng(9)
+    from phyml_tpu.bayes.chrono import TimeTree
+    tt = TimeTree.coalescent(6, rng, theta=0.5)
+    aln = _sim_alignment(tt, rng, n_sites=200)
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    engine = LikelihoodEngine(aln, model)
+    params = model.init_params(aln.obs_state_freqs)
+
+    h = tt.heights
+    dt = h[tt.parent] - h
+    dt[tt.root] = 0.0
+    tree = TreeArrays(
+        child=jnp.asarray(tt.child, dtype=jnp.int32),
+        blen=jnp.asarray(np.maximum(dt, 1e-6), dtype=engine.dtype))
+    na = fit_normal_approx(engine, params, tree, engine.weights)
+
+    exact0 = float(engine._loglik(params, tree, engine.weights))
+    assert float(na.loglik(tree.blen)) == pytest.approx(exact0,
+                                                        abs=1e-4)
+    db = 1e-3 * np.asarray(
+        rng.standard_normal(engine.n_nodes), dtype=np.float32)
+    db[-1] = 0.0
+    b1 = tree.blen + jnp.asarray(np.abs(db))
+    exact1 = float(engine._loglik(
+        params, TreeArrays(child=tree.child, blen=b1),
+        engine.weights))
+    assert float(na.loglik(b1)) == pytest.approx(exact1, abs=0.05)
+
+
+def test_mcmc_fastlk_chain():
+    """A short fastlk chain runs, stays finite, and its cached lnL is
+    the quadratic surface's value (the reference's --fastlk contract)."""
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.mcmc import MCMC, MCMCSettings
+    from phyml_tpu.bayes.rates import RateModel
+    from phyml_tpu.bayes.times import TimePrior
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+
+    rng = np.random.default_rng(13)
+    tt = TimeTree.coalescent(5, rng, theta=0.4)
+    aln = _sim_alignment(tt, rng, n_sites=100)
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    engine = LikelihoodEngine(aln, model)
+    params = model.init_params(aln.obs_state_freqs)
+
+    mcmc = MCMC(engine, model, params, tt,
+                RateModel(kind="strict"), TimePrior(kind="coalescent"),
+                MCMCSettings(n_iter=200, burnin=100, batch=50, seed=4),
+                fastlk=True)
+    st, trace, acc = mcmc.run()
+    assert np.isfinite(trace[:, 0]).all()
+    assert float(st.lnL) == pytest.approx(float(mcmc._lnL(st)),
+                                          abs=1e-6)
 
 
 def test_lognormal_rate_prior_mean_one():
