@@ -36,6 +36,7 @@ def format_stats(
     runtime_s: float | None = None,
     seed: int | None = None,
     n_parsimony: int | None = None,
+    extra_lines: list[str] | None = None,
 ) -> str:
     import jax.numpy as jnp
 
@@ -59,6 +60,8 @@ def format_stats(
     L.append(f". Tree topology search: \t\t{search_desc}")
     L.append(f". Number of taxa: \t\t\t{aln.n_otu}")
     L.append(f". Log-likelihood: \t\t\t{lnl:.5f}")
+    for ln in (extra_lines or []):
+        L.append(ln)
     if n_parsimony is not None:
         L.append(f". Parsimony: \t\t\t\t{n_parsimony}")
     L.append(f". Tree size: \t\t\t\t{float(np.sum(topo.blen)):.5f}")

@@ -194,6 +194,8 @@ def run_xml(path: str, quiet: bool = False) -> int:
     cfg = parse_xml(path)
     if not cfg["partitions"]:
         raise ValueError(f"{path}: no <partitionelem> found")
+    if len(cfg["partitions"]) > 1:
+        return _run_xml_partitioned(path, cfg, t0, quiet)
     part = cfg["partitions"][0]
 
     aln = read_alignment(part["file"], datatype=part["datatype"],
@@ -247,4 +249,87 @@ def run_xml(path: str, quiet: bool = False) -> int:
     if not quiet:
         print(f". Log-likelihood: {lnl:.5f}")
         print(f". Results written to {tree_path} and {stats_path}")
+    return 0
+
+
+def _run_xml_partitioned(path: str, cfg: dict, t0: float,
+                         quiet: bool) -> int:
+    """Multi-<partitionelem> analysis: shared topology, per-partition
+    models/branch lengths, combined-likelihood search (≙ the
+    reference's chained partition trees, mixt.c MIXT_Lk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from phyml_tpu.io.alignment import read_alignment
+    from phyml_tpu.io.output import format_stats, write_results
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+    from phyml_tpu.search.bionj import bionj_start
+    from phyml_tpu.search.partitioned import (
+        Partition, partitioned_search, reorder_taxa,
+    )
+    from phyml_tpu.topology import Topology
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    alns, parts = [], []
+    names = None
+    for part in cfg["partitions"]:
+        aln = read_alignment(part["file"], datatype=part["datatype"],
+                             interleaved=part["interleaved"])
+        if names is None:
+            names = list(aln.names)
+        else:
+            aln = reorder_taxa(aln, names)
+        model, overrides = build_model_from_xml(cfg, part)
+        params = model.init_params(aln.obs_state_freqs)
+        for k, v in overrides.items():
+            params[k] = jnp.asarray(v)
+        engine = LikelihoodEngine(aln, model, dtype=dtype)
+        alns.append(aln)
+        parts.append(Partition(engine, model, params))
+
+    tcfg = cfg["topology"]
+    if tcfg.get("file"):
+        with open(tcfg["file"]) as fh:
+            topo0 = Topology.from_newick(fh.read(), names)
+        start_desc = "user tree"
+    else:
+        topo0 = bionj_start(parts[0].engine, parts[0].params)
+        start_desc = "BioNJ (partition 1)"
+
+    search = tcfg.get("search", "SPR")
+    topos, parts, lnl = partitioned_search(
+        parts, topo0, search=search,
+        opt_params=tcfg.get("optimise", True), verbose=not quiet)
+
+    run_id = f"_{cfg['run_id']}" if cfg["run_id"] else ""
+    base = cfg["partitions"][0]["file"]
+    prefix = f"{base}{run_id}"
+    if cfg["output_file"]:
+        prefix = os.path.join(os.path.dirname(os.path.abspath(path)),
+                              cfg["output_file"])
+    # one stats+tree pair per partition (matching the reference's
+    # per-partition output blocks), plus the combined lnL up front
+    outputs = []
+    for k, (aln, (eng, model, params), topo) in enumerate(
+            zip(alns, parts, topos)):
+        from phyml_tpu.ops.likelihood import tree_arrays
+        ta = tree_arrays(topo.rooted(), dtype=eng.dtype)
+        lnl_k = float(eng.loglik(params, ta))
+        stats = format_stats(
+            input_name=cfg["partitions"][k]["file"], aln=aln,
+            model=model, params=params, lnl=lnl_k, topo=topo,
+            search_desc=search, start_tree_desc=start_desc,
+            runtime_s=time.time() - t0,
+            extra_lines=[f". Combined log-likelihood "
+                         f"(all {len(parts)} partitions): {lnl:.5f}"],
+        )
+        suffix = f"_part{k + 1}" if len(parts) > 1 else ""
+        outputs.append(write_results(f"{prefix}{suffix}", topo, names,
+                                     stats))
+    if not quiet:
+        print(f". Combined log-likelihood: {lnl:.5f}")
+        for tree_path, stats_path in outputs:
+            print(f". Results written to {tree_path} and {stats_path}")
     return 0
