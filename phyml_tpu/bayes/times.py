@@ -26,6 +26,7 @@ YULE = "yule"
 COALESCENT = "coalescent"
 EXPCOALESCENT = "expcoalescent"
 UNIFORM = "uniform"
+CALYULE = "calibrated_yule"   # invitee.c mixture over calibrations
 
 NEG_INF = -1e30
 
@@ -62,12 +63,36 @@ class TimePrior:
 
     kind: str = BIRTHDEATH
     calibrations: tuple = field(default_factory=tuple)
+    # 'calibrated_yule' only: MultiCalibration tuple (clade-choice
+    # mixtures, invitee.c); plain calibrations are auto-converted
+    multi_calibrations: tuple = field(default_factory=tuple)
+    # resolved CalibratedYule engine (set by resolve())
+    calyule: object = field(default=None, compare=False)
 
     def resolve(self, tt) -> "TimePrior":
-        return TimePrior(
-            kind=self.kind,
-            calibrations=tuple(c.resolved(tt) for c in self.calibrations),
+        from dataclasses import replace
+
+        from phyml_tpu.bayes.invitee import (
+            CalibratedYule, CladeChoice, MultiCalibration,
         )
+        out = TimePrior(
+            kind=self.kind,
+            calibrations=tuple(c.resolved(tt)
+                               for c in self.calibrations),
+            multi_calibrations=self.multi_calibrations,
+        )
+        if self.kind == CALYULE:
+            mcals = list(self.multi_calibrations)
+            # plain bounds calibrations become single-choice mixtures
+            # and are NOT double-counted by log_calibrations
+            mcals += [
+                MultiCalibration(choices=(CladeChoice(taxa=c.taxa),),
+                                 lower=c.lower, upper=c.upper)
+                for c in self.calibrations
+            ]
+            out = replace(out, calibrations=(),
+                          calyule=CalibratedYule(tt, tuple(mcals)))
+        return out
 
     # ------------------------------------------------------------------
     def log_prior(self, heights, n_otu: int, hyper: dict):
@@ -76,6 +101,11 @@ class TimePrior:
         root = n_nodes - 1
         internal = heights[n_otu:]
         t_root = heights[root]
+        if self.kind == CALYULE:
+            # mixture over calibration combinations of root-
+            # conditioned truncated-exponential orders
+            # (TIMES_Calib_Cond_Prob invitee.c:718)
+            return self.calyule.log_prior(heights, hyper["birth"])
         if self.kind == UNIFORM:
             # calibrated-uniform (times.c:417): flat within the
             # feasible region; the MCMC's bound-respecting moves plus
@@ -194,6 +224,7 @@ class TimePrior:
         # it, so it is not a chain parameter here either.
         return {
             YULE: ("birth",),
+            CALYULE: ("birth",),
             BIRTHDEATH: ("birth", "death"),
             COALESCENT: ("theta",),
             EXPCOALESCENT: ("theta", "growth"),

@@ -330,3 +330,90 @@ def test_calibrations_from_xml(tmp_path):
     assert len(cals) == 1
     assert cals[0].taxa == ("A", "B")
     assert cals[0].lower == 10.0 and cals[0].upper == 20.0
+
+
+def test_calibrated_yule_closed_form():
+    """Single node, single combination: truncated-exponential density
+    (≙ TIMES_Lk_Yule_Order_Root_Cond times.c:1526)."""
+    import math
+
+    import jax.numpy as jnp
+    from phyml_tpu.bayes.invitee import yule_order_root_cond
+
+    b = 1.7
+    h1, hroot = 0.6, 2.0
+    lo_b, hi_b = 0.2, 1.5
+    heights = jnp.asarray([0.0, 0.0, 0.0, h1, hroot])
+    lo = jnp.asarray([0.0, 0.0, 0.0, lo_b, 0.0])
+    hi = jnp.asarray([np.inf, np.inf, np.inf, hi_b, np.inf])
+    got = float(yule_order_root_cond(heights, 3, jnp.asarray(b), lo, hi))
+    expect = (math.log(b) - b * h1
+              - math.log(math.exp(-b * lo_b) - math.exp(-b * hi_b)))
+    assert got == pytest.approx(expect, rel=1e-10)
+    # outside the window: reject
+    bad = heights.at[3].set(1.9)
+    assert float(yule_order_root_cond(bad, 3, jnp.asarray(b), lo,
+                                      hi)) < -1e20
+
+
+def test_calibrated_yule_combination_mixture():
+    """Two candidate clades for one calibration: the prior is the
+    probability-weighted mixture over combinations
+    (TIMES_Calib_Cond_Prob invitee.c:718)."""
+    import jax.numpy as jnp
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.invitee import (
+        CalibratedYule, CladeChoice, MultiCalibration,
+    )
+
+    rng = np.random.default_rng(21)
+    tt = TimeTree.coalescent(6, rng)
+    names = tt.names
+    cal = MultiCalibration(
+        choices=(CladeChoice(taxa=(names[0], names[1]), proba=0.7),
+                 CladeChoice(taxa=(names[2], names[3]), proba=0.3)),
+        lower=0.0, upper=float(tt.heights.max()) * 2,
+    )
+    cy = CalibratedYule(tt, (cal,))
+    assert cy.n_combos == 2
+    h = jnp.asarray(tt.heights)
+    b = jnp.asarray(1.0)
+    mix = float(cy.log_prior(h, b))
+    # manual mixture from the per-combo densities
+    from phyml_tpu.bayes.invitee import yule_order_root_cond
+    v = [float(yule_order_root_cond(h, 6, b, cy.lo[i], cy.hi[i]))
+         for i in range(2)]
+    expect = np.log(0.7 * np.exp(v[0]) + 0.3 * np.exp(v[1]))
+    assert mix == pytest.approx(expect, rel=1e-8)
+
+
+def test_calibrated_yule_mcmc():
+    """A short chain under the calibrated-Yule prior respects the
+    calibration window and samples birth."""
+    import jax.numpy as jnp
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.mcmc import MCMC, MCMCSettings
+    from phyml_tpu.bayes.rates import RateModel
+    from phyml_tpu.bayes.times import Calibration, TimePrior
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+
+    rng = np.random.default_rng(31)
+    tt = TimeTree.coalescent(5, rng, theta=0.5)
+    aln = _sim_alignment(tt, rng, n_sites=80)
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    engine = LikelihoodEngine(aln, model)
+    params = model.init_params(aln.obs_state_freqs)
+    root_h = float(tt.heights[tt.root])
+    prior = TimePrior(kind="calibrated_yule", calibrations=(
+        Calibration(taxa=tuple(tt.names), lower=0.5 * root_h,
+                    upper=2.0 * root_h),))
+    mcmc = MCMC(engine, model, params, tt, RateModel(kind="strict"),
+                prior, MCMCSettings(n_iter=300, burnin=150, batch=75,
+                                    seed=6))
+    st, trace, acc = mcmc.run()
+    assert np.isfinite(trace[:, 0]).all()
+    h_root = float(st.heights[tt.root])
+    assert 0.5 * root_h - 1e-9 <= h_root <= 2.0 * root_h + 1e-9
+    assert float(st.lnL) == pytest.approx(float(mcmc._lnL(st)),
+                                          abs=1e-6)
