@@ -142,6 +142,10 @@ def spr_scores(engine, params, tree: TreeArrays, mask, v, valid,
 
 def _descendants(rv, v: int) -> np.ndarray:
     """Boolean [n_nodes]: nodes in subtree(v) inclusive."""
+    from phyml_tpu import native
+    nat = native.descendants(rv.n_otu, rv.child, v)
+    if nat is not None:
+        return nat
     n = rv.n_otu
     below = np.zeros(rv.n_nodes, dtype=bool)
     below[v] = True

@@ -113,8 +113,21 @@ class Topology:
         """Root at a virtual node on tip 0's edge; postorder-index
         internal nodes.  The full length of tip 0's unrooted edge is
         carried on the tip-0 side (pulley principle: the split does
-        not change the likelihood)."""
+        not change the likelihood).
+
+        Hot path: built by the native treekit (C++) when available —
+        this runs once per applied search move — with the Python DFS
+        as fallback (identical output)."""
         n = self.n_otu
+        from phyml_tpu import native
+        nat = native.rooted_view_arrays(n, self.edges, self.blen)
+        if nat is not None:
+            child, parent, node_blen, node_to_edge, unrooted_id = nat
+            return RootedView(
+                n_otu=n, child=child, parent=parent,
+                node_blen=node_blen, node_to_edge=node_to_edge,
+                unrooted_id=unrooted_id,
+            )
         n_nodes = 2 * n - 1
         root = n_nodes - 1
         adj = self.adjacency()
@@ -368,6 +381,16 @@ class Topology:
     ) -> "Topology":
         from phyml_tpu.io.newick import NewickNode, parse_newick
 
+        if isinstance(text_or_node, str):
+            # native tokenizer fast path (treekit.cpp); identical
+            # semantics to the Python parser below
+            from phyml_tpu import native
+            try:
+                arrs = native.parse_newick_arrays(text_or_node)
+            except ValueError:
+                arrs = None  # surface the error via the Python parser
+            if arrs is not None:
+                return cls._from_newick_arrays(*arrs, names=names)
         node = (
             text_or_node
             if isinstance(text_or_node, NewickNode)
@@ -415,6 +438,66 @@ class Topology:
 
         # Internal ids were assigned top-down; they may exceed the
         # unrooted budget when the root was suppressed.  Compact ids.
+        e = np.asarray(edges, dtype=np.int64)
+        used = np.unique(e[e >= n])
+        remap = {int(old_id): n + k for k, old_id in enumerate(used)}
+        for row in e:
+            for j in (0, 1):
+                if row[j] >= n:
+                    row[j] = remap[int(row[j])]
+        topo = cls(n, e.astype(np.int32), np.asarray(blens))
+        topo.validate()
+        return topo
+
+    @classmethod
+    def _from_newick_arrays(cls, parent, length, node_names,
+                            names: list[str]) -> "Topology":
+        """Build from the native tokenizer's flat preorder arrays —
+        same unary-collapse / root-suppression semantics as the
+        recursive path, but iterative (no recursion limit)."""
+        name_to_id = {nm: i for i, nm in enumerate(names)}
+        n = len(names)
+        n_raw = len(parent)
+        kids_raw: list[list[int]] = [[] for _ in range(n_raw)]
+        for i in range(1, n_raw):
+            kids_raw[int(parent[i])].append(i)
+
+        edges: list[list[int]] = []
+        blens: list[float] = []
+        next_id = [n]
+        res: list[tuple | None] = [None] * n_raw
+        # preorder indexing => children have larger ids than parents,
+        # so a reverse sweep resolves bottom-up
+        for i in range(n_raw - 1, -1, -1):
+            plen = 0.0 if np.isnan(length[i]) else float(length[i])
+            ks = kids_raw[i]
+            if not ks:
+                nm = node_names[i]
+                if nm not in name_to_id:
+                    raise ValueError(f"taxon {nm!r} not in alignment")
+                res[i] = (name_to_id[nm], plen)
+            elif len(ks) == 1:
+                cid, clen = res[ks[0]]
+                res[i] = (cid, clen + plen)
+            else:
+                my = next_id[0]
+                next_id[0] += 1
+                for k in ks:
+                    cid, clen = res[k]
+                    edges.append([my, cid])
+                    blens.append(clen)
+                res[i] = (my, plen)
+
+        root_kids = [res[k] for k in kids_raw[0]]
+        if len(root_kids) == 2:
+            # rooted input: drop the degree-2 root, join its children
+            my, _ = res[0]
+            keep = [e for e, b in zip(edges, blens) if e[0] != my]
+            kb = [b for e, b in zip(edges, blens) if e[0] != my]
+            (c0, l0), (c1, l1) = root_kids
+            keep.append([c0, c1])
+            kb.append(l0 + l1)
+            edges, blens = keep, kb
         e = np.asarray(edges, dtype=np.int64)
         used = np.unique(e[e >= n])
         remap = {int(old_id): n + k for k, old_id in enumerate(used)}
