@@ -364,6 +364,12 @@ def run_analysis(args) -> int:
 
 
 def main(argv=None) -> int:
+    real_argv = sys.argv[1:] if argv is None else argv
+    if not real_argv:
+        # no options: drop into the PHYLIP-style menu, exactly like
+        # the reference (Get_Input io.c:4373-4384 -> interface.c:15)
+        from phyml_tpu.interface import launch_interface
+        return launch_interface()
     args = build_parser().parse_args(argv)
     if args.xml:
         from phyml_tpu.io.xmlcfg import run_xml
