@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a PostScript phylogram "
                         "(_phyml_tree.ps; reference draw.c)")
     p.add_argument("--print_site_lnl", action="store_true")
+    p.add_argument("--print_trace", action="store_true",
+                   help="append a newick line to _phyml_trace.txt at "
+                        "every search improvement (io.c fp_out_trace)")
+    p.add_argument("--json_trace", action="store_true",
+                   help="JSON snapshots of tree+lnL per improvement "
+                        "(_phyml_trace.json; JSON_Tree_Io io.c:6737)")
     p.add_argument("--leave_duplicates", action="store_true")
     p.add_argument("--no_memory_check", action="store_true")
     p.add_argument("--quiet", action="store_true")
@@ -250,6 +256,19 @@ def run_analysis(args) -> int:
             if not args.quiet:
                 print(f". Resumed from checkpoint ({stage}).")
 
+    trace = None
+    if args.print_trace or args.json_trace:
+        from phyml_tpu.io.output import TraceWriter
+        run_id_ = f"_{args.run_id}" if args.run_id else ""
+        trace_prefix = f"{args.input}{run_id_}"
+        trace = TraceWriter(
+            aln.names,
+            newick_path=(f"{trace_prefix}_phyml_trace.txt"
+                         if args.print_trace else None),
+            json_path=(f"{trace_prefix}_phyml_trace.json"
+                       if args.json_trace else None),
+        )
+
     if opt_topo:
         searcher = spr_search if args.search in ("SPR", "BEST") \
             else nni_search
@@ -257,10 +276,10 @@ def run_analysis(args) -> int:
         topo, params, lnl = searcher(
             engine, model, params, topo,
             opt_params=opt_rates, seed=seed,
-            verbose=not args.quiet,
+            verbose=not args.quiet, trace=trace,
         ) if searcher is spr_search else searcher(
             engine, model, params, topo,
-            opt_params=opt_rates, verbose=not args.quiet,
+            opt_params=opt_rates, verbose=not args.quiet, trace=trace,
         )
     else:
         search_desc = "none"

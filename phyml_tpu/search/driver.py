@@ -26,6 +26,7 @@ def nni_search(
     max_inner: int = 50,
     verbose: bool = False,
     weights=None,
+    trace=None,
 ):
     """NNI topology search with interleaved parameter optimization.
     Returns (topo, params, lnL)."""
@@ -37,6 +38,8 @@ def nni_search(
                                                weights=weights)
             if verbose:
                 print(f"  nni: lnL {lnl_new:.5f} ({n_swaps} swaps)")
+            if trace is not None and n_swaps:
+                trace.snapshot(topo, lnl_new)
             if n_swaps == 0:
                 break
         if opt_params:
@@ -75,6 +78,7 @@ def spr_search(
     seed: int = 0,
     verbose: bool = False,
     weights=None,
+    trace=None,
 ):
     """SPR topology search with interleaved parameter optimization and
     a final NNI polish (reference: Global_Spr_Search spr.c:764, which
@@ -88,6 +92,8 @@ def spr_search(
         )
         if verbose:
             print(f"  spr: lnL {lnl_spr:.5f} ({n_moves} moves)")
+        if trace is not None and n_moves:
+            trace.snapshot(topo, lnl_spr)
         rv = topo.rooted()
         params, ta, lnl_new = round_optimize(
             engine, model, params,
@@ -105,4 +111,5 @@ def spr_search(
     return nni_search(
         engine, model, params, topo,
         opt_params=opt_params, verbose=verbose, weights=weights,
+        trace=trace,
     )

@@ -110,3 +110,39 @@ def test_cli_xml_lg4x(tmp_path, monkeypatch):
     # ML-distance BioNJ tree (topology fixed by the XML), so only
     # sanity-bound here; same-topology parity is covered elsewhere
     assert -12500 < lnl < -12300
+
+
+def test_trace_outputs(tmp_path):
+    """--print_trace / --json_trace write improvement snapshots
+    (io.c fp_out_trace + JSON_Tree_Io io.c:6737)."""
+    import json
+    import shutil
+
+    import numpy as np
+    from phyml_tpu.cli import main
+    from phyml_tpu.evolve import simulate_alignment, write_phylip
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.topology import Topology
+
+    rng = np.random.default_rng(4)
+    topo = Topology.random(8, rng, mean_blen=0.15)
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    params = model.init_params(np.full(4, 0.25))
+    _, seqs = simulate_alignment(topo, model, params, 300, rng)
+    p = tmp_path / "tr.phy"
+    write_phylip(str(p), [f"t{i}" for i in range(8)], seqs)
+
+    rc = main(["-i", str(p), "-m", "HKY85", "-c", "1", "-o", "tlr",
+               "-s", "NNI", "-b", "0", "--rand_start", "--r_seed", "5",
+               "--print_trace", "--json_trace", "--quiet"])
+    assert rc == 0
+    nwk_lines = (tmp_path / "tr.phy_phyml_trace.txt").read_text() \
+        .strip().splitlines()
+    assert len(nwk_lines) >= 1
+    assert all(ln.endswith(";") for ln in nwk_lines)
+    states = json.loads((tmp_path / "tr.phy_phyml_trace.json")
+                        .read_text())
+    assert len(states) == len(nwk_lines)
+    assert states[0]["state"]["state_num"] == 0
+    lnls = [s["state"]["lnL"] for s in states]
+    assert lnls == sorted(lnls)  # improvements only
