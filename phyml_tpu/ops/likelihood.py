@@ -140,13 +140,39 @@ class LikelihoodEngine:
         # pattern counts; bootstrap passes resampled vectors)
         self._jit_loglik = jax.jit(self._loglik)
         self._jit_loglik_full = jax.jit(self._loglik_full)
-        self.site_logliks = jax.jit(self._site_logliks)
+        self._jit_site_logliks = jax.jit(self._site_logliks)
+        # host-cached eigensystem path: the eigendecomposition only
+        # changes when model parameters change (the reference runs
+        # Update_Eigen models.c:881 once per parameter update, then
+        # PMat per edge), so host-driven loops (branch-length rounds,
+        # bootstrap scoring, search scorers) reuse one device-resident
+        # system instead of re-tracing eigh into every program —
+        # measured ~2x on the full-likelihood eval
+        self._jit_system = jax.jit(self._system)
+        self._jit_loglik_sys = jax.jit(self._loglik_sys)
+        self._jit_site_logliks_sys = jax.jit(self._site_logliks_sys)
+        self._sys_cache = None
 
     def _w(self, weights):
         return self.weights if weights is None else weights
 
+    def system_of(self, params):
+        """Device-resident (lam, V, Vinv, pi, w, pinv), cached by the
+        identity of the params dict: optimizers build a fresh dict per
+        parameter change, so identity is a safe cache key."""
+        hit = self._sys_cache
+        if hit is not None and hit[0] is params:
+            return hit[1]
+        sys = self._jit_system(params)
+        self._sys_cache = (params, sys)
+        return sys
+
     def loglik(self, params, tree, weights=None):
-        return self._jit_loglik(params, tree, self._w(weights))
+        return self._jit_loglik_sys(self.system_of(params), tree,
+                                    self._w(weights))
+
+    def site_logliks(self, params, tree):
+        return self._jit_site_logliks_sys(self.system_of(params), tree)
 
     def loglik_full(self, params, tree, weights=None):
         return self._jit_loglik_full(params, tree, self._w(weights))
@@ -325,8 +351,13 @@ class LikelihoodEngine:
         """Site log-likelihoods via the fused Pallas up-pass kernel
         (ops/pallas_clv.py) - TPU path for plain full-tree likelihood
         evaluations (bootstrap scoring, parameter Brent steps)."""
+        return self._site_loglik_fused_sys(self._system(params), tree,
+                                           interpret)
+
+    def _site_loglik_fused_sys(self, sys, tree: TreeArrays,
+                               interpret=False):
         from phyml_tpu.ops.pallas_clv import uppass_site_lse
-        lam, V, Vinv, pi, w, pinv = self._system(params)
+        lam, V, Vinv, pi, w, pinv = sys
         pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
         lse = uppass_site_lse(
             tree.child, self.tips, pmats, pi,
@@ -343,22 +374,21 @@ class LikelihoodEngine:
     # (mpi_boot.c:119-135) - reuse the same compiled executables.
     # ------------------------------------------------------------------
     def _loglik(self, params, tree: TreeArrays, weights):
-        if self.pallas_tile:
-            site = self._site_loglik_fused(params, tree)
-        else:
-            lam, V, Vinv, pi, w, pinv = self._system(params)
-            pmats = self._pmats(lam, V, Vinv,
-                                tree.blen.astype(self.dtype))
-            pup, _, sc = self._up_pass(pmats, tree.child)
-            site = self._root_site_loglik(pup, sc, pi, w, pinv)
+        return self._loglik_sys(self._system(params), tree, weights)
+
+    def _loglik_sys(self, sys, tree: TreeArrays, weights):
+        site = self._site_logliks_sys(sys, tree)
         return jnp.sum(site.astype(jnp.float64) * weights)
 
     _loglik_weighted = _loglik  # vmap-friendly alias
 
     def _site_logliks(self, params, tree: TreeArrays):
+        return self._site_logliks_sys(self._system(params), tree)
+
+    def _site_logliks_sys(self, sys, tree: TreeArrays):
         if self.pallas_tile:
-            return self._site_loglik_fused(params, tree)
-        lam, V, Vinv, pi, w, pinv = self._system(params)
+            return self._site_loglik_fused_sys(sys, tree)
+        lam, V, Vinv, pi, w, pinv = sys
         pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
         pup, _, sc = self._up_pass(pmats, tree.child)
         return self._root_site_loglik(pup, sc, pi, w, pinv)
@@ -386,7 +416,11 @@ class LikelihoodEngine:
         The rows for the root and for the zero-length root child are
         meaningless and must be masked by the caller (they do not
         correspond to free unrooted edges)."""
-        lam, V, Vinv, pi, w, pinv = self._system(params)
+        return self.edge_dotprods_sys(self._system(params), tree,
+                                      weights)
+
+    def edge_dotprods_sys(self, sys, tree: TreeArrays, weights):
+        lam, V, Vinv, pi, w, pinv = sys
         pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
         pup, clv, sc = self._up_pass(pmats, tree.child)
         out, sc_out = self._down_pass(pmats, tree.child, pup, sc, pi)

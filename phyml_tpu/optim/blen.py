@@ -52,8 +52,8 @@ def _make_blen_round(engine):
 
         return lax.fori_loop(0, _N_NEWTON, body, jnp.where(mask, t0, t0))
 
-    def round_fn(params, tree: TreeArrays, lnl0, weights):
-        d, sc_d, aux = engine.edge_dotprods(params, tree, weights)
+    def round_fn(sys, tree: TreeArrays, lnl0, weights):
+        d, sc_d, aux = engine.edge_dotprods_sys(sys, tree, weights)
         n_nodes = engine.n_nodes
         idx = jnp.arange(n_nodes)
         root = n_nodes - 1
@@ -66,8 +66,8 @@ def _make_blen_round(engine):
         t1 = jnp.where(mask, t1, t0)
 
         def lnl_at(t):
-            return engine._loglik(params, TreeArrays(tree.child, t),
-                                  weights)
+            return engine._loglik_sys(sys, TreeArrays(tree.child, t),
+                                      weights)
 
         def cond(state):
             t, lnl, k = state
@@ -109,9 +109,10 @@ def optimize_branch_lengths(
         fn = _make_blen_round(engine)
         engine._blen_round_fn = fn
     weights = engine.weights if weights is None else weights
+    sys = engine.system_of(params)
     lnl = engine.loglik(params, tree, weights)
     for _ in range(max_rounds):
-        tree, lnl_new = fn(params, tree, lnl, weights)
+        tree, lnl_new = fn(sys, tree, lnl, weights)
         gain = float(lnl_new) - float(lnl)
         lnl = lnl_new
         if gain < tol:

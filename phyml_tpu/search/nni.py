@@ -64,8 +64,8 @@ def _make_nni_scorer(engine):
 
     _P = jax.lax.Precision.HIGHEST
 
-    def scorer(params, tree: TreeArrays, cand, weights):
-        lam, V, Vinv, pi, w, pinv = engine._system(params)
+    def scorer(sys, tree: TreeArrays, cand, weights):
+        lam, V, Vinv, pi, w, pinv = sys
         pmats = engine._pmats(lam, V, Vinv,
                               tree.blen.astype(engine.dtype))
         pup, clv, sc = engine._up_pass(pmats, tree.child)
@@ -183,7 +183,8 @@ def nni_scores(engine, params, tree: TreeArrays, cand: np.ndarray,
         fn = _make_nni_scorer(engine)
         engine._nni_scorer_fn = fn
     weights = engine.weights if weights is None else weights
-    lnl, ts, site = fn(params, tree, jnp.asarray(cand), weights)
+    lnl, ts, site = fn(engine.system_of(params), tree,
+                       jnp.asarray(cand), weights)
     out = (np.asarray(lnl), tuple(np.asarray(t) for t in ts))
     if return_site:
         out = out + (np.asarray(site),)

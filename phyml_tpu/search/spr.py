@@ -52,8 +52,8 @@ def _make_spr_scorer(engine):
             return jnp.clip(tn, BL_MIN, BL_MAX)
         return jax.lax.fori_loop(0, iters, body, t)
 
-    def scorer(params, tree: TreeArrays, mask, v, valid, weights):
-        lam, V, Vinv, pi, w, pinv = engine._system(params)
+    def scorer(sys, tree: TreeArrays, mask, v, valid, weights):
+        lam, V, Vinv, pi, w, pinv = sys
         pmats = engine._pmats(lam, V, Vinv,
                               tree.blen.astype(engine.dtype))
         pup, clv, sc = engine._up_pass(pmats, tree.child, mask)
@@ -133,7 +133,8 @@ def spr_scores(engine, params, tree: TreeArrays, mask, v, valid,
         fn = _make_spr_scorer(engine)
         engine._spr_scorer_fn = fn
     weights = engine.weights if weights is None else weights
-    lnl, t1, t2, tp = fn(params, tree, jnp.asarray(mask),
+    lnl, t1, t2, tp = fn(engine.system_of(params), tree,
+                         jnp.asarray(mask),
                          jnp.asarray(v, dtype=jnp.int32),
                          jnp.asarray(valid), weights)
     return (np.asarray(lnl), np.asarray(t1), np.asarray(t2),
