@@ -30,6 +30,11 @@ import time
 
 import numpy as np
 
+# persistent XLA compile cache: the bench compiles several large
+# programs (CLV kernel, branch-length Newton); caching cuts repeat
+# wall-clock from ~9 min to ~2 min
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 N_TAXA = 128
 N_SITES = 4096
 SEED = 20260817
@@ -126,7 +131,7 @@ def main():
 
     # --- CLV throughput (pure full-likelihood evaluations) ----------
     eng.loglik(params, ta).block_until_ready()     # compile
-    n_evals = 20
+    n_evals = 50
     t0 = time.monotonic()
     for _ in range(n_evals):
         lnl = eng.loglik(params, ta)

@@ -186,6 +186,15 @@ class MCMC:
         tree = TreeArrays(child=self.child,
                           blen=blen.astype(self.engine.dtype))
         subst = {**self.subst_fixed, **state.subst}
+        if self.rate_model.kind == "guindon":
+            # Guindon 2012 branch-length-integrated clock: P matrices
+            # are the Gamma-MGF expectation E[P(L)] with within-branch
+            # rate variance nu (gamma_mgf_bl path, lk.c:2310-2323 ->
+            # PMat_MGF_Gamma models.c:1044)
+            return self.engine._loglik_mgf(
+                subst, tree,
+                jnp.exp(state.log_nu).astype(self.engine.dtype),
+                self.engine.weights)
         return self.engine._loglik(subst, tree, self.engine.weights)
 
     def _log_prior(self, state: ChainState):
@@ -271,7 +280,11 @@ class MCMC:
 
     def _mv_nu_scale(self, st, key, step):
         d = step * (jax.random.uniform(key, ()) - 0.5)
-        return st._replace(log_nu=st.log_nu + d), 0.0, False
+        # under the Guindon integrated clock, nu is the within-branch
+        # rate variance fed to the MGF likelihood (loglik_mgf), so a
+        # nu move changes lnL, not just the prior
+        affects = self.rate_model.kind == "guindon"
+        return st._replace(log_nu=st.log_nu + d), 0.0, affects
 
     def _mv_hyper_scale(self, st, key, step):
         if not self.hyper_names:

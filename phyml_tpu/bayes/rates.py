@@ -41,10 +41,10 @@ class RateModel:
 
     kind: 'strict' | 'lognormal' | 'thorne' | 'guindon'.
     'guindon' (Guindon 2012, the reference's branch-length-integrated
-    model, PMat_MGF_Gamma models.c:1044) shares the Thorne
-    autocorrelated prior here; the integrated-P(t) refinement averages
-    P over within-branch rate variation and is approximated by the
-    midpoint rate in this implementation.
+    model) shares the Thorne autocorrelated prior over branch-average
+    rates; its likelihood additionally integrates P(t) over
+    within-branch rate variation via the Gamma MGF
+    (LikelihoodEngine.loglik_mgf ≙ PMat_MGF_Gamma models.c:1044).
     """
 
     kind: str = LOGNORMAL

@@ -216,6 +216,24 @@ def run_analysis(args) -> int:
     aln = read_alignment(args.input, datatype=args.datatype,
                          interleaved=not args.sequential,
                          site_weights=site_w)
+
+    # duplicate-sequence removal (Remove_Duplicates utilities.c:2675;
+    # re-inserted in the output tree as in main.c:389)
+    dup_name_pairs: list[tuple[str, str]] = []
+    dup_indices: list[int] = []
+    orig_names = list(aln.names)
+    if not args.leave_duplicates and aln.n_otu >= 4:
+        from phyml_tpu.io.alignment import drop_taxa, find_duplicate_taxa
+        pairs = find_duplicate_taxa(aln)
+        if pairs and aln.n_otu - len(pairs) >= 4:
+            for d, k in pairs:
+                if not args.quiet:
+                    print(f". Note: taxon '{aln.names[d]}' is a "
+                          f"duplicate of taxon '{aln.names[k]}'.")
+                dup_name_pairs.append((aln.names[d], aln.names[k]))
+            dup_indices = [d for d, _ in pairs]
+            aln = drop_taxa(aln, dup_indices)
+
     if not args.quiet:
         print(f". {aln.n_patterns} patterns found (out of a total of "
               f"{aln.n_sites} sites).")
@@ -230,7 +248,12 @@ def run_analysis(args) -> int:
     # ---- starting tree ------------------------------------------------
     if args.user_tree:
         with open(args.user_tree) as fh:
-            topo = Topology.from_newick(fh.read(), aln.names)
+            user_nwk = fh.read()
+        if dup_indices:
+            topo = Topology.from_newick(user_nwk, orig_names) \
+                .without_leaves(set(dup_indices))
+        else:
+            topo = Topology.from_newick(user_nwk, aln.names)
         start_desc = f"user tree ({args.user_tree})"
     elif args.rand_start:
         topo = Topology.random(aln.n_otu, rng)
@@ -332,6 +355,12 @@ def run_analysis(args) -> int:
         prefix, topo, aln.names, stats,
         support=support, support_fmt=support_fmt,
     )
+    if dup_name_pairs:
+        from phyml_tpu.io.newick import insert_duplicate_leaves
+        with open(tree_path) as fh:
+            full = insert_duplicate_leaves(fh.read(), dup_name_pairs)
+        with open(tree_path, "w") as fh:
+            fh.write(full + "\n")
     if args.print_site_lnl:
         ta = tree_arrays(topo.rooted(), dtype=dtype)
         write_site_lnl(f"{prefix}_phyml_lk.txt", aln,

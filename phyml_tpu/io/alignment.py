@@ -118,7 +118,37 @@ def compact(
     )
     aln.invar_mask = (partials > 0).all(axis=0)  # [n_patterns, ns]
     aln.obs_state_freqs = empirical_freqs(aln)
+    aln.input_site_weights = site_weights       # kept for re-compaction
     return aln
+
+
+def find_duplicate_taxa(aln: Alignment) -> list[tuple[int, int]]:
+    """(duplicate_index, kept_index) pairs: taxa whose encoded
+    sequences are identical (reference Are_Sequences_Identical,
+    called from Remove_Duplicates utilities.c:2675).  The first
+    occurrence is kept."""
+    codes = (aln.partials > 0).reshape(aln.n_otu, -1)
+    _, first, inv = np.unique(codes, axis=0, return_index=True,
+                              return_inverse=True)
+    pairs = []
+    for i in range(aln.n_otu):
+        rep = int(first[inv[i]])
+        if rep != i:
+            pairs.append((i, rep))
+    return pairs
+
+
+def drop_taxa(aln: Alignment, drop: list[int]) -> Alignment:
+    """Rebuild the alignment without the given taxa (patterns that
+    merge once a distinguishing taxon is gone get re-compacted,
+    matching the reference's Compact_Data re-run after
+    Remove_Duplicates)."""
+    dropset = set(int(d) for d in drop)
+    keep = [i for i in range(aln.n_otu) if i not in dropset]
+    enc = aln.partials[keep][:, aln.site_to_pattern, :]
+    return compact(enc, [aln.names[i] for i in keep], aln.datatype,
+                   site_weights=getattr(aln, "input_site_weights",
+                                        None))
 
 
 def empirical_freqs(aln: Alignment, n_iter: int = 8) -> np.ndarray:

@@ -150,3 +150,37 @@ def parse_newick_labeled(text: str) -> dict[str, frozenset]:
 
     rec(root)
     return out
+
+
+def insert_duplicate_leaves(
+    text: str, pairs: list[tuple[str, str]],
+) -> str:
+    """Graft removed duplicate taxa back into a newick string at zero
+    distance from their kept twin (reference: Insert_Duplicates,
+    called at main.c:389 after the search ran on the reduced data).
+    `pairs` is [(duplicate_name, twin_name), ...]; each duplicate
+    becomes a cherry (TWIN:0, DUP:0) carrying the twin's original
+    pendant edge length."""
+    root = parse_newick(text)
+
+    def rec(n: NewickNode) -> None:
+        for i, c in enumerate(list(n.children)):
+            if c.is_leaf and c.name in grafts:
+                pendant = c.length
+                node = c
+                node.length = 0.0
+                for dup in grafts[c.name]:
+                    node = NewickNode(
+                        name=None, length=0.0,
+                        children=[node,
+                                  NewickNode(name=dup, length=0.0)])
+                node.length = pendant
+                n.children[i] = node
+            else:
+                rec(c)
+
+    grafts: dict[str, list[str]] = {}
+    for dup, twin in pairs:
+        grafts.setdefault(twin, []).append(dup)
+    rec(root)
+    return write_newick(root)

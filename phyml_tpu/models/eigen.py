@@ -79,3 +79,31 @@ def pmat(lam, v, vinv, t):
     p = jnp.einsum("cxi,nci,ciy->ncxy", v, elt, vinv, precision=_PREC)
     floor = 1e-100 if p.dtype == jnp.float64 else 1e-30
     return jnp.maximum(p, floor)
+
+
+def pmat_mgf_gamma(lam, v, vinv, t, sigma):
+    """Branch-length-integrated P: E[P(L)] with L ~ Gamma of mean t
+    and variance t*sigma (reference PMat_MGF_Gamma models.c:1044,
+    called with mean = l*r_c, var = l*sigma*r_c^2, lk.c:2296-2323 —
+    the Guindon 2012 relaxed-clock model).
+
+    With the class rate r_c folded into lam (as in `pmat`), the
+    reference's (1 - lam*var/mean)^(-mean^2/var) reduces exactly to
+        elt_i = (1 - lam_i * sigma)^(-t / sigma),
+    which converges to exp(lam_i t) as sigma -> 0 (plain P(t)).
+
+    t: [N, C]; sigma: scalar (l_var_sigma, utilities.h mod->l_var_sigma).
+    """
+    sig = jnp.maximum(jnp.asarray(sigma, dtype=t.dtype), 0.0)
+    lam_b = lam[None, :, :]
+    t_b = t[:, :, None]
+    use_mgf = sig > 1e-12
+    base = jnp.maximum(1.0 - lam_b * sig, 1e-30)  # lam <= 0: base >= 1
+    elt = jnp.where(
+        use_mgf,
+        jnp.exp((-t_b / jnp.maximum(sig, 1e-12)) * jnp.log(base)),
+        jnp.exp(lam_b * t_b),
+    )
+    p = jnp.einsum("cxi,nci,ciy->ncxy", v, elt, vinv, precision=_PREC)
+    floor = 1e-100 if p.dtype == jnp.float64 else 1e-30
+    return jnp.maximum(p, floor)

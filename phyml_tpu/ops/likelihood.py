@@ -47,7 +47,7 @@ import numpy as np
 from jax import lax
 
 from phyml_tpu.io.alignment import Alignment
-from phyml_tpu.models.eigen import pmat
+from phyml_tpu.models.eigen import pmat, pmat_mgf_gamma
 from phyml_tpu.models.substitution import SubstModel
 
 _PREC = lax.Precision.HIGHEST  # fp32 matmuls must not round to bf16
@@ -373,6 +373,39 @@ class LikelihoodEngine:
     # bootstrap replicates - which only change weights
     # (mpi_boot.c:119-135) - reuse the same compiled executables.
     # ------------------------------------------------------------------
+    def loglik_mgf(self, params, tree, sigma, weights=None):
+        """lnL with branch-length-integrated P matrices: each branch
+        length is Gamma-distributed with mean blen and variance
+        blen*sigma, and P is its expectation (PMat_MGF_Gamma
+        models.c:1044; gamma_mgf_bl path of lk.c:2310-2323).  This is
+        the exact likelihood of the Guindon 2012 relaxed clock."""
+        return self._jit_loglik_mgf(self.system_of(params), tree,
+                                    jnp.asarray(sigma, self.dtype),
+                                    self._w(weights))
+
+    @property
+    def _jit_loglik_mgf(self):
+        fn = getattr(self, "_jit_loglik_mgf_", None)
+        if fn is None:
+            fn = jax.jit(self._loglik_mgf_sys)
+            self._jit_loglik_mgf_ = fn
+        return fn
+
+    def _loglik_mgf(self, params, tree, sigma, weights):
+        """Untraced-callable MGF lnL (for use inside callers' jits)."""
+        return self._loglik_mgf_sys(self._system(params), tree, sigma,
+                                    weights)
+
+    def _loglik_mgf_sys(self, sys, tree: TreeArrays, sigma, weights):
+        lam, V, Vinv, pi, w, pinv = sys
+        t = jnp.broadcast_to(
+            tree.blen.astype(self.dtype)[:, None],
+            (self.n_nodes, self.C))
+        pmats = pmat_mgf_gamma(lam, V, Vinv, t, sigma)
+        pup, _, sc = self._up_pass(pmats, tree.child)
+        site = self._root_site_loglik(pup, sc, pi, w, pinv)
+        return jnp.sum(site.astype(jnp.float64) * weights)
+
     def _loglik(self, params, tree: TreeArrays, weights):
         return self._loglik_sys(self._system(params), tree, weights)
 

@@ -53,6 +53,9 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 _LANE = 128
 
 
+_LN2 = 0.6931471805599453
+
+
 def _uppass_kernel(child_ref, tips_ref, pmats_ref, pi_ref, logw_ref,
                    lse_ref, pup_scr, sc_scr, *, n_otu, n_int, C, ns,
                    tiny):
@@ -65,34 +68,73 @@ def _uppass_kernel(child_ref, tips_ref, pmats_ref, pi_ref, logw_ref,
     logw_ref  : VMEM [C, 1]             log class weights
     lse_ref   : VMEM [1, T]             output site log-likelihood
     pup_scr   : VMEM [n_nodes, C, ns, T]
-    sc_scr    : VMEM [n_nodes, C, T]
+    sc_scr    : VMEM [n_nodes, C, T]    accumulated scale, log2 units
+
+    Two kernel-level optimizations over the naive per-node loop (both
+    validated against the lax.scan path to f32 roundoff):
+
+      * All leaf matvecs run as ONE dot_general batched over
+        (n_otu * C) instead of an n_otu-iteration loop - only the
+        internal recursion is inherently sequential.
+      * Rescaling uses exponent-bit arithmetic instead of log/divide:
+        the shared per-(class, pattern) scale factor is the exact
+        power of two 2^(127-e) extracted from the float32 exponent
+        field of the column max, so each step costs one multiply and
+        an int add - no transcendentals, and the scaling itself is
+        EXACT (a power-of-two multiply never rounds).  The scale
+        accumulator is therefore in log2 units, converted once by
+        ln(2) at the root.  This replaces the reference's 2^256-block
+        scheme (utilities.h:493-520, lk.c:1748-1758).
     """
-    dn = (((2,), (1,)), ((0,), (0,)))  # [C,ns,ns] x [C,ns,T] batched
+    T = tips_ref.shape[-1]
 
-    # Leaves: pup[u] = P(t_u) @ tips[u]; exact tip partials need no
-    # scaling (values in [0, 1], products deferred to the parent).
-    def leaf(u, _):
-        x = tips_ref[u]                                   # [ns, T]
-        xb = jnp.broadcast_to(x[None], (C,) + x.shape)    # [C, ns, T]
-        pup_scr[u] = lax.dot_general(
-            pmats_ref[u], xb, dn, preferred_element_type=jnp.float32)
-        sc_scr[u] = jnp.zeros_like(sc_scr[u])
-        return 0
-
-    lax.fori_loop(0, n_otu, leaf, 0)
+    # Leaves, one shot: [n_otu*C, ns, ns] x [n_otu*C, ns, T].
+    # Exact tip partials need no scaling (values in [0, 1]).
+    xb = jnp.broadcast_to(
+        tips_ref[:][:, None], (n_otu, C, ns, T)
+    ).reshape(n_otu * C, ns, T)
+    pm_leaf = pmats_ref[0:n_otu].reshape(n_otu * C, ns, ns)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    # precision=HIGHEST is load-bearing: the default lets Mosaic run
+    # f32 matmuls through single-pass bf16 MXU passes, a ~2^-10
+    # relative error per P-matrix product that compounds down the
+    # tree to ~1e-2 per-site log-likelihood error.
+    pup_scr[0:n_otu] = lax.dot_general(
+        pm_leaf, xb, dn, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    ).reshape(n_otu, C, ns, T)
+    sc_scr[0:n_otu] = jnp.zeros_like(sc_scr[0:n_otu])
 
     # Internal nodes except the root row: combine children, rescale,
     # push through the parent edge's P-matrix.
+    def matvec(pm, x):
+        # DNA-sized states: an explicit ns-term FMA chain on the VPU
+        # is both exact in f32 and faster than tpu.matmul (measured
+        # 0.82ms vs 0.94ms full-tree on v5e); for AA/covarion state
+        # counts the dot_general (MXU, f32-precision passes) wins.
+        if ns <= 8:
+            acc = pm[:, :, 0][:, :, None] * x[:, 0][:, None, :]
+            for y in range(1, ns):
+                acc = acc + pm[:, :, y][:, :, None] * x[:, y][:, None, :]
+            return acc
+        return lax.dot_general(
+            pm, x, dn, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+
     def internal(i, _):
         c0 = child_ref[i, 0]
         c1 = child_ref[i, 1]
         u = n_otu + i
         x = pup_scr[c0] * pup_scr[c1]                     # [C, ns, T]
-        m = jnp.maximum(jnp.max(x, axis=1, keepdims=True), tiny)
-        x = x / m
-        sc_scr[u] = sc_scr[c0] + sc_scr[c1] + jnp.log(m[:, 0, :])
-        pup_scr[u] = lax.dot_general(
-            pmats_ref[u], x, dn, preferred_element_type=jnp.float32)
+        m = jnp.maximum(jnp.max(x, axis=1), tiny)         # [C, T]
+        bits = lax.bitcast_convert_type(m, jnp.int32)
+        e = (bits >> 23) & 0xFF                           # biased exp
+        factor = lax.bitcast_convert_type((254 - e) << 23,
+                                          jnp.float32)    # 2^(127-e)
+        x = x * factor[:, None, :]
+        sc_scr[u] = sc_scr[c0] + sc_scr[c1] + \
+            (e - 127).astype(jnp.float32)
+        pup_scr[u] = matvec(pmats_ref[u], x)
         return 0
 
     lax.fori_loop(0, n_int - 1, internal, 0)
@@ -104,7 +146,7 @@ def _uppass_kernel(child_ref, tips_ref, pmats_ref, pi_ref, logw_ref,
     x = pup_scr[r0] * pup_scr[r1]                         # [C, ns, T]
     lroot = jnp.sum(pi_ref[:][:, :, None] * x, axis=1)    # [C, T]
     lroot = jnp.maximum(lroot, tiny)
-    a = logw_ref[:] + sc_scr[r0] + sc_scr[r1] + jnp.log(lroot)
+    a = logw_ref[:] + (sc_scr[r0] + sc_scr[r1]) * _LN2 + jnp.log(lroot)
     amax = jnp.max(a, axis=0, keepdims=True)              # [1, T]
     lse_ref[:] = amax + jnp.log(
         jnp.sum(jnp.exp(a - amax), axis=0, keepdims=True))

@@ -559,6 +559,57 @@ class Topology:
     # ------------------------------------------------------------------
     # constructors
     # ------------------------------------------------------------------
+    def without_leaves(self, drop: set[int]) -> "Topology":
+        """Prune a set of tips (reference: Prune_Subtree
+        utilities.c:6152 applied per duplicate in
+        Remove_Duplicates_From_Tree utilities.c:2768).  Kept tips are
+        renumbered to 0..k-1 in ascending original order (matching
+        the reduced Alignment's name order); the two edges around each
+        suppressed degree-2 node merge with summed lengths."""
+        drop = set(int(d) for d in drop)
+        keep = [t for t in range(self.n_otu) if t not in drop]
+        assert len(keep) >= 3, "cannot prune below 3 taxa"
+        # adjacency with mutable edge set
+        edges = {i: (int(a), int(b), float(l)) for i, ((a, b), l) in
+                 enumerate(zip(self.edges, self.blen))}
+        adj: dict[int, set[int]] = {}
+        for eid, (a, b, _) in edges.items():
+            adj.setdefault(a, set()).add(eid)
+            adj.setdefault(b, set()).add(eid)
+
+        def other(eid, u):
+            a, b, _ = edges[eid]
+            return b if a == u else a
+
+        for t in sorted(drop):
+            (eid,) = adj[t]
+            v = other(eid, t)
+            del edges[eid]
+            adj[v].discard(eid)
+            adj.pop(t)
+            if len(adj[v]) == 2:           # suppress degree-2 node
+                e1, e2 = sorted(adj[v])
+                u1, u2 = other(e1, v), other(e2, v)
+                ln = edges[e1][2] + edges[e2][2]
+                del edges[e2]
+                adj[u2].discard(e2)
+                edges[e1] = (u1, u2, ln)
+                adj[u2].add(e1)
+                adj.pop(v)
+        # renumber: kept tips 0..k-1, internals k..2k-3
+        k = len(keep)
+        remap = {old: new for new, old in enumerate(keep)}
+        internals = sorted(u for u in adj if u >= self.n_otu)
+        for j, u in enumerate(internals):
+            remap[u] = k + j
+        e_arr = np.asarray(
+            [[remap[a], remap[b]] for (a, b, _) in edges.values()],
+            dtype=np.int32)
+        l_arr = np.asarray([l for (_, _, l) in edges.values()])
+        t = Topology(k, e_arr, l_arr)
+        t.validate()
+        return t
+
     @classmethod
     def random(
         cls, n_otu: int, rng: np.random.Generator,
