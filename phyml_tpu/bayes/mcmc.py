@@ -88,6 +88,17 @@ class MCMC:
         # Metropolis accept ratios, so the whole bayes tier requires
         # real float64 scalars.
         jax.config.update("jax_enable_x64", True)
+        if fastlk and rate_model.kind == "guindon":
+            # the quadratic lnL expansion is a function of expected
+            # branch lengths only; it cannot represent the Guindon-2012
+            # within-branch variance nu, so sampling nu against it
+            # would silently draw nu from the prior alone
+            raise ValueError(
+                "fastlk is incompatible with the Guindon (2012) "
+                "integrated relaxed clock: the normal approximation "
+                "ignores the within-branch rate variance nu. Use the "
+                "exact likelihood (fastlk=False) for this clock model."
+            )
         self.engine = engine
         self.model = model
         self.tt = time_tree

@@ -66,8 +66,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Dirichlet-weight bootstrap")
     p.add_argument("--r_seed", type=int, default=None)
     p.add_argument("--rand_start", action="store_true",
-                   help="random starting tree(s)")
+                   help="random starting tree(s); the search is run "
+                        "from --n_rand_starts of them and the best "
+                        "final tree is kept (main.c:126-139)")
     p.add_argument("--n_rand_starts", type=int, default=5)
+    p.add_argument("--constraint_file", default=None,
+                   help="multifurcating constraint tree; the search "
+                        "starts from a random binary resolution and "
+                        "only considers compatible topologies")
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force the JAX backend (cpu enables float64 "
+                        "parity runs even when a TPU is attached)")
     p.add_argument("--weights", default=None,
                    help="site-weight file")
     # covarion (M4) family; the reference's --cov CLI (cl.c:69-74) is
@@ -190,10 +199,55 @@ def _init_params(args, model, aln):
 
 
 def run_analysis(args) -> int:
+    import os
+
+    # persistent XLA compile cache: without it a cold CLI run spends
+    # minutes compiling the scan programs (bench.py already sets this;
+    # round-2 review measured ~9 min cold vs ~2 min warm)
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "phyml_tpu_xla"),
+    )
+    import jax
+
+    if args.platform:
+        # config API, not the JAX_PLATFORMS env var: the installed TPU
+        # plugin overrides the env var (see tests/conftest.py)
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and not args.float32:
+            # CPU parity runs want real float64 scalars
+            jax.config.update("jax_enable_x64", True)
+
+    from phyml_tpu.io.alignment import (
+        read_alignment, read_alignments_multi, read_site_weights,
+    )
+
+    seed = args.r_seed if args.r_seed is not None else int(
+        time.time()) % (2 ** 31)
+    rng = np.random.default_rng(seed)
+    site_w = read_site_weights(args.weights) if args.weights else None
+
+    if args.multiple > 1:
+        alns = read_alignments_multi(
+            args.input, args.multiple, datatype=args.datatype,
+            interleaved=not args.sequential, site_weights=site_w)
+    else:
+        alns = [read_alignment(args.input, datatype=args.datatype,
+                               interleaved=not args.sequential,
+                               site_weights=site_w)]
+    rc = 0
+    for set_idx, aln in enumerate(alns):
+        if len(alns) > 1 and not args.quiet:
+            print(f"\n. Data set #{set_idx + 1} of {len(alns)}.")
+        rc |= _run_dataset(args, aln, rng, seed, set_idx, len(alns))
+    return rc
+
+
+def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
     import jax
     import jax.numpy as jnp
 
-    from phyml_tpu.io.alignment import read_alignment, read_site_weights
     from phyml_tpu.io.output import (
         format_stats, write_results, write_site_lnl,
     )
@@ -208,14 +262,6 @@ def run_analysis(args) -> int:
     from phyml_tpu.ops.parsimony import parsimony_score
 
     t_start = time.time()
-    seed = args.r_seed if args.r_seed is not None else int(
-        time.time()) % (2 ** 31)
-    rng = np.random.default_rng(seed)
-
-    site_w = read_site_weights(args.weights) if args.weights else None
-    aln = read_alignment(args.input, datatype=args.datatype,
-                         interleaved=not args.sequential,
-                         site_weights=site_w)
 
     # duplicate-sequence removal (Remove_Duplicates utilities.c:2675;
     # re-inserted in the output tree as in main.c:389)
@@ -245,6 +291,15 @@ def run_analysis(args) -> int:
     dtype = jnp.float32 if (args.float32 or on_tpu) else jnp.float64
     engine = LikelihoodEngine(aln, model, dtype=dtype)
 
+    # ---- topological constraint (reference --constraint_file) ---------
+    constraint = None
+    accept_topo = None
+    if args.constraint_file:
+        from phyml_tpu.search.constraint import Constraint
+        constraint = Constraint.from_file(args.constraint_file,
+                                          aln.names)
+        accept_topo = constraint.is_compatible
+
     # ---- starting tree ------------------------------------------------
     if args.user_tree:
         with open(args.user_tree) as fh:
@@ -254,7 +309,14 @@ def run_analysis(args) -> int:
                 .without_leaves(set(dup_indices))
         else:
             topo = Topology.from_newick(user_nwk, aln.names)
+        if constraint is not None and not constraint.is_compatible(topo):
+            print("!! the user tree violates the constraint tree",
+                  file=sys.stderr)
+            return 1
         start_desc = f"user tree ({args.user_tree})"
+    elif constraint is not None:
+        topo = constraint.random_resolution(rng)
+        start_desc = f"constraint resolution ({args.constraint_file})"
     elif args.rand_start:
         topo = Topology.random(aln.n_otu, rng)
         start_desc = "random"
@@ -284,6 +346,8 @@ def run_analysis(args) -> int:
         from phyml_tpu.io.output import TraceWriter
         run_id_ = f"_{args.run_id}" if args.run_id else ""
         trace_prefix = f"{args.input}{run_id_}"
+        if n_sets > 1:
+            trace_prefix += f"_set{set_idx + 1}"
         trace = TraceWriter(
             aln.names,
             newick_path=(f"{trace_prefix}_phyml_trace.txt"
@@ -293,17 +357,46 @@ def run_analysis(args) -> int:
         )
 
     if opt_topo:
-        searcher = spr_search if args.search in ("SPR", "BEST") \
-            else nni_search
+        # -s BEST runs BOTH strategies and keeps the better tree
+        # (cl.c: "BEST: best of NNI and SPR search"); --rand_start
+        # repeats the search from --n_rand_starts random starting
+        # trees and keeps the best final lnL (main.c:126-139, 308-312)
+        kinds = ["NNI", "SPR"] if args.search == "BEST" \
+            else [args.search]
         search_desc = args.search
-        topo, params, lnl = searcher(
-            engine, model, params, topo,
-            opt_params=opt_rates, seed=seed,
-            verbose=not args.quiet, trace=trace,
-        ) if searcher is spr_search else searcher(
-            engine, model, params, topo,
-            opt_params=opt_rates, verbose=not args.quiet, trace=trace,
-        )
+        if args.rand_start:
+            starts = []
+            for _ in range(max(1, args.n_rand_starts)):
+                starts.append(
+                    constraint.random_resolution(rng)
+                    if constraint is not None
+                    else Topology.random(aln.n_otu, rng))
+        else:
+            starts = [topo]
+
+        def _one(topo0, kind, params0):
+            if kind == "SPR":
+                return spr_search(
+                    engine, model, params0, topo0,
+                    opt_params=opt_rates, seed=seed,
+                    verbose=not args.quiet, trace=trace,
+                    accept_topo=accept_topo)
+            return nni_search(
+                engine, model, params0, topo0,
+                opt_params=opt_rates, verbose=not args.quiet,
+                trace=trace, accept_topo=accept_topo)
+
+        best = None
+        for si, topo0 in enumerate(starts):
+            for kind in kinds:
+                if not args.quiet and (len(starts) > 1
+                                       or len(kinds) > 1):
+                    print(f". Search {kind}, start "
+                          f"{si + 1}/{len(starts)}:")
+                cand = _one(topo0.copy(), kind, dict(params))
+                if best is None or cand[2] > best[2]:
+                    best = cand
+        topo, params, lnl = best
     else:
         search_desc = "none"
         ta = tree_arrays(topo.rooted(), dtype=dtype)
@@ -354,7 +447,11 @@ def run_analysis(args) -> int:
     tree_path, stats_path = write_results(
         prefix, topo, aln.names, stats,
         support=support, support_fmt=support_fmt,
+        append=(set_idx > 0),
     )
+    if n_sets > 1:
+        # aux outputs below must not clobber across data sets
+        prefix = f"{prefix}_set{set_idx + 1}"
     if dup_name_pairs:
         from phyml_tpu.io.newick import insert_duplicate_leaves
         with open(tree_path) as fh:

@@ -192,6 +192,28 @@ def read_alignment(
     return compact(enc, names, datatype, site_weights=site_weights)
 
 
+def read_alignments_multi(
+    path: str,
+    n_sets: int,
+    datatype: str | None = None,
+    interleaved: bool = True,
+    site_weights: np.ndarray | None = None,
+) -> list[Alignment]:
+    """Read `n_sets` consecutive PHYLIP data sets from one file
+    (reference -n/--multiple, main.c:108 per-data-set loop)."""
+    from phyml_tpu.io.phylip import parse_phylip_multi
+
+    with open(path) as fh:
+        text = fh.read()
+    sets = parse_phylip_multi(text, n_sets, interleaved=interleaved)
+    out = []
+    for names, seqs in sets:
+        dt = datatype or guess_datatype(seqs)
+        enc = datatypes.encode_sequences([s.upper() for s in seqs], dt)
+        out.append(compact(enc, names, dt, site_weights=site_weights))
+    return out
+
+
 def guess_datatype(seqs: list[str]) -> str:
     """Reference heuristic: mostly-ACGTUN characters -> nucleotides."""
     sample = "".join(seqs)[:10000].upper()

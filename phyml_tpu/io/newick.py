@@ -183,4 +183,7 @@ def insert_duplicate_leaves(
     for dup, twin in pairs:
         grafts.setdefault(twin, []).append(dup)
     rec(root)
-    return write_newick(root)
+    # with_support=True: keep any internal support labels
+    # (bootstrap/aLRT/aBayes) the input carried — harmless when none
+    # are present (reference Insert_Duplicates preserves them too)
+    return write_newick(root, with_support=True)

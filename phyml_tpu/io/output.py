@@ -153,18 +153,21 @@ def write_results(
     stats_text: str,
     support: dict[int, float] | None = None,
     support_fmt: str = "%.2f",
+    append: bool = False,
 ) -> tuple[str, str]:
     """Write <prefix>_phyml_tree.txt and <prefix>_phyml_stats.txt
     (reference naming: io.c output file conventions).  Returns the two
-    paths."""
+    paths.  append=True adds to existing files (the reference's
+    -n/--multiple data sets share one tree and one stats file)."""
     tree_path = f"{prefix}_phyml_tree.txt"
     stats_path = f"{prefix}_phyml_stats.txt"
     sup = None
     if support is not None:
         sup = {eid: support_fmt % val for eid, val in support.items()}
-    with open(tree_path, "w") as fh:
+    mode = "a" if append else "w"
+    with open(tree_path, mode) as fh:
         fh.write(topo.to_newick(names, support=sup) + "\n")
-    with open(stats_path, "w") as fh:
+    with open(stats_path, mode) as fh:
         fh.write(stats_text)
     return tree_path, stats_path
 

@@ -100,6 +100,88 @@ def _parse_sequential(body: list[str], n_otu: int, n_sites: int):
     return names, seqs
 
 
+def parse_phylip_multi(
+    text: str, n_sets: int, interleaved: bool = True
+) -> list[tuple[list[str], list[str]]]:
+    """Parse `n_sets` consecutive data sets from one PHYLIP file
+    (reference: the per-data-set loop of main.c:108 with -n/--multiple,
+    re-calling Get_Seq on the same open file).  Each set has its own
+    'n_otu n_sites' header."""
+    lines = text.splitlines()
+    pos = 0
+    out: list[tuple[list[str], list[str]]] = []
+    for _ in range(n_sets):
+        while pos < len(lines) and not lines[pos].strip():
+            pos += 1
+        if pos >= len(lines):
+            raise ValueError(
+                f"PHYLIP: expected {n_sets} data sets, found {len(out)}"
+            )
+        header = lines[pos].split()
+        if len(header) < 2:
+            raise ValueError("bad PHYLIP header: expected 'n_otu n_sites'")
+        n_otu, n_sites = int(header[0]), int(header[1])
+        pos += 1
+
+        names: list[str] = []
+        seqs: list[str] = []
+        if interleaved:
+            row = 0
+            in_first = True
+            while pos < len(lines):
+                line = lines[pos]
+                if not line.strip():
+                    if names:
+                        row = 0
+                        in_first = False
+                    pos += 1
+                    continue
+                if (names and not in_first
+                        and all(len(s) >= n_sites for s in seqs)):
+                    break  # next dataset's header
+                if in_first and len(names) < n_otu:
+                    parts = line.split(None, 1)
+                    names.append(parts[0])
+                    seqs.append(_clean(parts[1]) if len(parts) > 1
+                                else "")
+                    if len(names) == n_otu:
+                        in_first = False
+                        row = 0
+                else:
+                    seqs[row % n_otu] += _clean(line)
+                    row += 1
+                pos += 1
+        else:
+            cur = ""
+            started = False
+            while pos < len(lines) and len(seqs) < n_otu:
+                line = lines[pos]
+                if not line.strip():
+                    pos += 1
+                    continue
+                if not started or len(cur) >= n_sites:
+                    if started:
+                        seqs.append(cur)
+                        if len(seqs) == n_otu:
+                            break
+                    parts = line.split(None, 1)
+                    names.append(parts[0])
+                    cur = _clean(parts[1]) if len(parts) > 1 else ""
+                    started = True
+                else:
+                    cur += _clean(line)
+                pos += 1
+            if started and len(seqs) < n_otu:
+                seqs.append(cur)
+        if len(names) != n_otu or any(len(s) < n_sites for s in seqs):
+            raise ValueError(
+                f"PHYLIP multi: data set {len(out)} incomplete "
+                f"({len(names)}/{n_otu} taxa)"
+            )
+        out.append((names, [s[:n_sites] for s in seqs]))
+    return out
+
+
 def write_phylip(names: list[str], seqs: list[str]) -> str:
     """Write interleaved PHYLIP matching the reference's output shape
     (io.c Print_CSeq): 60 columns per row in blocks of 10."""

@@ -158,14 +158,24 @@ class LikelihoodEngine:
 
     def system_of(self, params):
         """Device-resident (lam, V, Vinv, pi, w, pinv), cached by the
-        identity of the params dict: optimizers build a fresh dict per
-        parameter change, so identity is a safe cache key."""
+        CONTENT identity of the params dict: its tree structure plus
+        the object identity of every leaf.  jax/np arrays are replaced
+        (never mutated) when a parameter changes, so a stale hit would
+        require writing into an existing ndarray in place — guarded
+        against dict-level mutation (params["alpha"] = x), which dict-
+        identity keying silently missed."""
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        key = (treedef, tuple(id(l) for l in leaves))
         hit = self._sys_cache
-        if hit is not None and hit[0] is params:
-            return hit[1]
+        if hit is not None and hit[0] == key:
+            return hit[2]
         sys = self._jit_system(params)
-        self._sys_cache = (params, sys)
+        # keep a strong ref to the leaves so their ids cannot be reused
+        self._sys_cache = (key, leaves, sys)
         return sys
+
+    def invalidate_system_cache(self):
+        self._sys_cache = None
 
     def loglik(self, params, tree, weights=None):
         return self._jit_loglik_sys(self.system_of(params), tree,

@@ -48,7 +48,9 @@ def _make_blen_round(engine):
             t_new = jnp.where(d2 < -1e-12, newton, probe)
             t_new = jnp.clip(t_new, t / 3.0, t * 3.0)
             t_new = jnp.clip(t_new, BL_MIN, BL_MAX)
-            return jnp.where(mask, t_new, t0)
+            # edge_lnl_terms accumulates in float64; keep the carry at
+            # the engine dtype so the fori_loop types stay fixed
+            return jnp.where(mask, t_new, t0).astype(t0.dtype)
 
         return lax.fori_loop(0, _N_NEWTON, body, jnp.where(mask, t0, t0))
 

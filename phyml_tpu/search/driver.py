@@ -27,15 +27,18 @@ def nni_search(
     verbose: bool = False,
     weights=None,
     trace=None,
+    accept_topo=None,
 ):
     """NNI topology search with interleaved parameter optimization.
-    Returns (topo, params, lnL)."""
+    Returns (topo, params, lnL).  accept_topo: optional topology
+    predicate (constraint search, --constraint_file)."""
     lnl = -np.inf
     for outer in range(max_outer):
         # inner NNI loop until no improving swap
         for _ in range(max_inner):
-            topo, lnl_new, n_swaps = nni_round(engine, params, topo,
-                                               weights=weights)
+            topo, lnl_new, n_swaps = nni_round(
+                engine, params, topo, weights=weights,
+                accept_topo=accept_topo)
             if verbose:
                 print(f"  nni: lnL {lnl_new:.5f} ({n_swaps} swaps)")
             if trace is not None and n_swaps:
@@ -79,6 +82,7 @@ def spr_search(
     verbose: bool = False,
     weights=None,
     trace=None,
+    accept_topo=None,
 ):
     """SPR topology search with interleaved parameter optimization and
     a final NNI polish (reference: Global_Spr_Search spr.c:764, which
@@ -88,7 +92,8 @@ def spr_search(
     lnl = -np.inf
     for outer in range(max_outer):
         topo, lnl_spr, n_moves = spr_round(
-            engine, params, topo, rng=rng, weights=weights
+            engine, params, topo, rng=rng, weights=weights,
+            accept_topo=accept_topo,
         )
         if verbose:
             print(f"  spr: lnL {lnl_spr:.5f} ({n_moves} moves)")
@@ -111,5 +116,5 @@ def spr_search(
     return nni_search(
         engine, model, params, topo,
         opt_params=opt_params, verbose=verbose, weights=weights,
-        trace=trace,
+        trace=trace, accept_topo=accept_topo,
     )

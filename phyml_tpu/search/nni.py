@@ -96,7 +96,7 @@ def _make_nni_scorer(engine):
                 probe = jnp.where(d1 > 0, t * 3.0, t / 3.0)
                 tn = jnp.where(d2 < -1e-12, nt, probe)
                 return jnp.clip(jnp.clip(tn, t / 3.0, t * 3.0),
-                                BL_MIN, BL_MAX)
+                                BL_MIN, BL_MAX).astype(t.dtype)
             return jax.lax.fori_loop(0, iters, body, t)
 
         def dots(x, y):
@@ -242,10 +242,14 @@ def _select_disjoint(cand, gains, min_gain):
 
 
 def nni_round(engine, params, topo, lnl0=None, min_gain: float = 1e-4,
-              blen_tol: float = 1e-4, weights=None):
+              blen_tol: float = 1e-4, weights=None, accept_topo=None):
     """One simultaneous-NNI round: optimize branch lengths, score all
     edges, apply the best node-disjoint set of improving swaps (with
-    single-swap fallback).  Returns (topo, lnL, n_applied)."""
+    single-swap fallback).  Returns (topo, lnL, n_applied).
+
+    accept_topo (optional): predicate on the post-swap Topology;
+    swaps whose application would violate it are dropped (constraint
+    search, reference --constraint_file)."""
     rv = topo.rooted()
     ta = tree_arrays(rv, dtype=engine.dtype)
     ta, lnl = optimize_branch_lengths(engine, params, ta, tol=blen_tol,
@@ -257,6 +261,12 @@ def nni_round(engine, params, topo, lnl0=None, min_gain: float = 1e-4,
                                 weights=weights)
     gains = lnl_cfg[:, 1:] - lnl_cfg[:, [0]]
     chosen = _select_disjoint(cand, gains, min_gain)
+    if accept_topo is not None:
+        chosen = [
+            mv for mv in chosen
+            if accept_topo(_apply_swaps(topo.copy(), rv, cand, [mv],
+                                        t_opt))
+        ]
     if not chosen:
         return topo, lnl, 0
 

@@ -225,10 +225,15 @@ def spr_round(
     min_gain: float = 1e-3,
     rng: np.random.Generator | None = None,
     weights=None,
+    accept_topo=None,
 ):
     """One SPR sweep: every prunable subtree in random order, best
     regraft applied immediately when it beats the current tree by
-    min_gain.  Returns (topo, lnL, n_applied)."""
+    min_gain.  Returns (topo, lnL, n_applied).
+
+    accept_topo (optional): predicate on the post-move Topology;
+    regraft targets producing a rejected topology are skipped in
+    favor of the next-best one (constraint search)."""
     rng = rng or np.random.default_rng(0)
     n_applied = 0
     rv = topo.rooted()
@@ -249,20 +254,28 @@ def spr_round(
         mask, valid = spr_move_arrays(rv, v)
         lnl_t, t1, t2, tp = spr_scores(engine, params, ta, mask, v,
                                        valid, weights=weights)
-        best = int(np.argmax(lnl_t))
         u = int(rv.parent[v])
         s_row = rv.child[u - rv.n_otu]
         sib = int(s_row[1] if int(s_row[0]) == v else s_row[0])
         # the link's two remaining unrooted edges are "stay" targets
         # (compare edge ids: several rooted nodes can share an edge)
         link_edges = {int(rv.node_to_edge[u]), int(rv.node_to_edge[sib])}
-        if int(rv.node_to_edge[best]) in link_edges:
-            continue  # best position is the current one
-        if lnl_t[best] - lnl_cur < min_gain:
-            continue
-        topo = apply_spr(topo, rv, v, best, float(t1[best]),
-                         float(t2[best]), float(tp[best]))
-        lnl_cur = float(lnl_t[best])
-        n_applied += 1
-        rv = None  # force rebuild
+        applied = False
+        for best in np.argsort(-lnl_t):
+            best = int(best)
+            if int(rv.node_to_edge[best]) in link_edges:
+                break  # best remaining position is the current one
+            if lnl_t[best] - lnl_cur < min_gain:
+                break
+            cand_topo = apply_spr(topo, rv, v, best, float(t1[best]),
+                                  float(t2[best]), float(tp[best]))
+            if accept_topo is not None and not accept_topo(cand_topo):
+                continue  # constraint-violating target: try next best
+            topo = cand_topo
+            lnl_cur = float(lnl_t[best])
+            applied = True
+            break
+        if applied:
+            n_applied += 1
+            rv = None  # force rebuild
     return topo, lnl_cur, n_applied

@@ -611,6 +611,24 @@ class Topology:
         return t
 
     @classmethod
+    def caterpillar(cls, n_otu: int, blen: float = 0.1) -> "Topology":
+        """Ladder (caterpillar) topology: tips hang off a single
+        internal chain.  Maximum pruning-recursion depth for a given
+        taxon count — the stress case for CLV rescaling."""
+        assert n_otu >= 3
+        n = n_otu
+        edges = [[n, 0], [n, 1]]
+        for i in range(2, n - 1):
+            link = n + i - 1
+            edges.append([link - 1, link])
+            edges.append([link, i])
+        edges.append([2 * n - 3, n - 1])
+        t = cls(n, np.asarray(edges, dtype=np.int32),
+                np.full(len(edges), blen))
+        t.validate()
+        return t
+
+    @classmethod
     def random(
         cls, n_otu: int, rng: np.random.Generator,
         mean_blen: float = 0.1,

@@ -105,3 +105,15 @@ def test_duplicate_roundtrip_likelihood(tmp_path):
     got = sorted(leaf_names(parse_newick(out)))
     assert got == ["a", "b", "c", "d", "e", "x", "y", "z"]
     assert ":0.20000000" in out          # b's pendant length preserved
+
+
+def test_duplicate_reinsertion_keeps_support_labels():
+    """Reinsertion must preserve internal support labels (bootstrap /
+    aLRT values written as internal-node labels); the reference's
+    Insert_Duplicates does (round-2 advisor finding)."""
+    from phyml_tpu.io.newick import insert_duplicate_leaves
+
+    nwk = "((a:0.1,b:0.2)0.97:0.05,(c:0.1,d:0.3)0.42:0.02,e:0.4);"
+    out = insert_duplicate_leaves(nwk, [("x", "b")])
+    assert "0.97" in out
+    assert "0.42" in out

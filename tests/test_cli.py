@@ -133,7 +133,8 @@ def test_trace_outputs(tmp_path):
     write_phylip(str(p), [f"t{i}" for i in range(8)], seqs)
 
     rc = main(["-i", str(p), "-m", "HKY85", "-c", "1", "-o", "tlr",
-               "-s", "NNI", "-b", "0", "--rand_start", "--r_seed", "5",
+               "-s", "NNI", "-b", "0", "--rand_start",
+               "--n_rand_starts", "1", "--r_seed", "5",
                "--print_trace", "--json_trace", "--quiet"])
     assert rc == 0
     nwk_lines = (tmp_path / "tr.phy_phyml_trace.txt").read_text() \
@@ -146,3 +147,80 @@ def test_trace_outputs(tmp_path):
     assert states[0]["state"]["state_num"] == 0
     lnls = [s["state"]["lnL"] for s in states]
     assert lnls == sorted(lnls)  # improvements only
+
+
+def _sim_phy(tmp_path, n_otu=8, n_sites=250, seed=9, fname="m.phy"):
+    from phyml_tpu.evolve import simulate_alignment, write_phylip
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.topology import Topology
+
+    rng = np.random.default_rng(seed)
+    topo = Topology.random(n_otu, rng, mean_blen=0.15)
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    params = model.init_params(np.full(4, 0.25))
+    names = [f"t{i}" for i in range(n_otu)]
+    _, seqs = simulate_alignment(topo, model, params, n_sites, rng)
+    p = tmp_path / fname
+    write_phylip(str(p), names, seqs)
+    return p, names, topo
+
+
+def test_cli_multiple_datasets(tmp_path):
+    """-n/--multiple: both data sets analyzed; tree + stats files get
+    one entry per set (main.c:108 per-data-set loop)."""
+    p1, _, _ = _sim_phy(tmp_path, seed=9, fname="a.phy")
+    p2, _, _ = _sim_phy(tmp_path, seed=10, fname="b.phy")
+    multi = tmp_path / "multi.phy"
+    multi.write_text(p1.read_text() + p2.read_text())
+
+    rc = main(["-i", str(multi), "-n", "2", "-m", "HKY85", "-c", "1",
+               "-o", "lr", "-b", "0", "--rand_start",
+               "--n_rand_starts", "1", "--r_seed", "3", "--quiet"])
+    assert rc == 0
+    trees = (tmp_path / "multi.phy_phyml_tree.txt").read_text() \
+        .strip().splitlines()
+    assert len(trees) == 2
+    stats = (tmp_path / "multi.phy_phyml_stats.txt").read_text()
+    assert stats.count("Log-likelihood:") == 2
+
+
+def test_cli_search_best_and_rand_starts(tmp_path):
+    """-s BEST runs NNI and SPR; --n_rand_starts loops starts.  The
+    final lnL must be >= a single NNI search from BioNJ."""
+    p, _, _ = _sim_phy(tmp_path, seed=11)
+    rc = main(["-i", str(p), "-m", "HKY85", "-c", "1", "-o", "tlr",
+               "-s", "BEST", "-b", "0", "--rand_start",
+               "--n_rand_starts", "2", "--r_seed", "4", "--quiet"])
+    assert rc == 0
+    lnl_best = _stats_value(str(p) + "_phyml_stats.txt",
+                            "Log-likelihood:")
+
+    rc = main(["-i", str(p), "-m", "HKY85", "-c", "1", "-o", "tlr",
+               "-s", "NNI", "-b", "0", "--r_seed", "4", "--quiet",
+               "--run_id", "nni"])
+    assert rc == 0
+    lnl_nni = _stats_value(str(p) + "_nni_phyml_stats.txt",
+                           "Log-likelihood:")
+    assert lnl_best >= lnl_nni - 1e-3
+
+
+def test_cli_constraint_file(tmp_path):
+    """--constraint_file: the output tree contains every constraint
+    clade, whatever the data say."""
+    from phyml_tpu.io.newick import parse_newick
+    from phyml_tpu.search.constraint import Constraint
+    from phyml_tpu.topology import Topology
+
+    p, names, _ = _sim_phy(tmp_path, seed=12)
+    cons = tmp_path / "cons.nwk"
+    # force an (arbitrary) clade the ML tree is unlikely to have
+    cons.write_text("((t0,t3,t5),(t1,t2,t4,t6,t7));")
+
+    rc = main(["-i", str(p), "-m", "HKY85", "-c", "1", "-o", "tlr",
+               "-s", "NNI", "-b", "0", "--r_seed", "6", "--quiet",
+               "--constraint_file", str(cons)])
+    assert rc == 0
+    out = (tmp_path / "m.phy_phyml_tree.txt").read_text()
+    got = Topology.from_newick(out, names)
+    c = Constraint(parse_newick(cons.read_text()), names)
+    assert c.is_compatible(got)

@@ -168,3 +168,27 @@ def test_float32_close_to_float64(nucleic, ref_tree_a):
     l32 = float(e32.loglik(p, tree_arrays(ref_tree_a.rooted(),
                                           dtype=jnp.float32)))
     assert abs(l64 - l32) / abs(l64) < 1e-5
+
+
+def test_system_cache_invalidates_on_param_mutation(nucleic):
+    """system_of must not return a stale eigensystem after the caller
+    mutates the params dict in place (round-2 advisor landmine)."""
+    import jax.numpy as jnp
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.topology import Topology
+
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    params = model.init_params(nucleic.obs_state_freqs)
+    eng = LikelihoodEngine(nucleic, model, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    ta = tree_arrays(Topology.random(nucleic.n_otu, rng).rooted(),
+                     dtype=jnp.float64)
+
+    lnl1 = float(eng.loglik(params, ta))
+    params["kappa"] = params["kappa"] + 1.0   # in-place dict mutation
+    lnl2 = float(eng.loglik(params, ta))
+    assert lnl1 != lnl2
+
+    fresh = LikelihoodEngine(nucleic, model, dtype=jnp.float64)
+    assert float(fresh.loglik(params, ta)) == pytest.approx(lnl2)

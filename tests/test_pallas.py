@@ -54,11 +54,7 @@ def test_pallas_matches_scan_deep_tree(nucleic):
     model = SubstModel(datatype="nt", name="GTR", n_classes=4)
     params = model.init_params(nucleic.obs_state_freqs)
     n = nucleic.n_otu
-    topo = Topology.caterpillar(n, blen=0.25) \
-        if hasattr(Topology, "caterpillar") else None
-    if topo is None:
-        rng = np.random.default_rng(11)
-        topo = Topology.random(n, rng, mean_blen=0.25)
+    topo = Topology.caterpillar(n, blen=0.25)
     ta = tree_arrays(topo.rooted(), dtype=jnp.float32)
 
     scan, fused = _engines(nucleic, model)
