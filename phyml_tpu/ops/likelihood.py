@@ -109,6 +109,14 @@ class LikelihoodEngine:
                           and dtype == jnp.float32)
         tile = tile_size(self.n_nodes, self.C, self.ns)
         self.pallas_tile = tile if (use_pallas and tile >= 128) else 0
+        # off-TPU the kernel runs in interpret mode (tests force
+        # use_pallas=True on the virtual CPU mesh)
+        self.pallas_interpret = bool(self.pallas_tile) and \
+            jax.default_backend() != "tpu"
+        # optional SPMD mesh: set by parallel.mesh.sharded_engine; the
+        # fused kernel then runs per-shard under shard_map
+        self._mesh = None
+        self._shard_axis = None
 
         P_raw = aln.n_patterns
         quantum = max(pattern_pad, self.pallas_tile)
@@ -365,8 +373,10 @@ class LikelihoodEngine:
                                            interpret)
 
     def _site_loglik_fused_sys(self, sys, tree: TreeArrays,
-                               interpret=False):
+                               interpret=None):
         from phyml_tpu.ops.pallas_clv import uppass_site_lse
+        if interpret is None:
+            interpret = self.pallas_interpret
         lam, V, Vinv, pi, w, pinv = sys
         pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
         lse = uppass_site_lse(
@@ -376,6 +386,45 @@ class LikelihoodEngine:
             ns=self.ns, T=self.pallas_tile, interpret=interpret,
         ).astype(self.dtype)
         return self._mix_invar(lse, pi, w, pinv)
+
+    def attach_mesh(self, mesh, axis: str = "sites"):
+        """Run the fused kernel per-shard under shard_map over `axis`
+        of `mesh` (the pattern axis).  The per-site outputs stay
+        sharded; the weighted reduction in _loglik_sys becomes the
+        program's only collective — the TPU-native equivalent of
+        mpi_boot.c's site independence."""
+        self._mesh = mesh
+        self._shard_axis = axis
+        return self
+
+    def _site_loglik_fused_sys_sharded(self, sys, tree: TreeArrays):
+        from jax.sharding import PartitionSpec as P
+        from phyml_tpu.ops.pallas_clv import uppass_site_lse
+
+        lam, V, Vinv, pi, w, pinv = sys
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        logw = jnp.log(jnp.maximum(w, self._tiny))
+        n_local = self.P // self._mesh.shape[self._shard_axis]
+        T = self.pallas_tile
+        while n_local % T:
+            T -= 128
+        interpret = self.pallas_interpret
+        ax = self._shard_axis
+
+        def local(child, tips, pmats, pi, logw):
+            return uppass_site_lse(
+                child, tips, pmats, pi, logw,
+                n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
+                ns=self.ns, T=T, interpret=interpret)
+
+        lse = jax.shard_map(
+            local, mesh=self._mesh,
+            in_specs=(P(), P(None, None, ax), P(), P(), P()),
+            out_specs=P(ax),
+            # pallas_call out_shapes carry no varying-mesh-axes info
+            check_vma=False,
+        )(tree.child, self.tips, pmats, pi, logw)
+        return self._mix_invar(lse.astype(self.dtype), pi, w, pinv)
 
     # ------------------------------------------------------------------
     # public computations.  Every entry point takes the pattern-weight
@@ -430,6 +479,8 @@ class LikelihoodEngine:
 
     def _site_logliks_sys(self, sys, tree: TreeArrays):
         if self.pallas_tile:
+            if self._mesh is not None:
+                return self._site_loglik_fused_sys_sharded(sys, tree)
             return self._site_loglik_fused_sys(sys, tree)
         lam, V, Vinv, pi, w, pinv = sys
         pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))

@@ -201,21 +201,25 @@ def uppass_site_lse(child, tips, pmats, pi, logw, *, n_otu, n_int, C,
         ],
     )
     flops = 2 * n_nodes * C * ns * ns * P + 4 * n_nodes * C * ns * P
-    lse = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
-        grid_spec=grid_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=(tips.size + pmats.size + P) * 4,
-            transcendentals=n_nodes * C * P,
-        ),
-        interpret=interpret,
-    )(
-        child.astype(jnp.int32),
-        tips.astype(jnp.float32),
-        pmats.astype(jnp.float32),
-        pi.astype(jnp.float32),
-        logw.astype(jnp.float32).reshape(C, 1),
-    )
+    # Trace the kernel with 32-bit default ints even when the caller
+    # session runs jax_enable_x64: the kernel's index arithmetic must
+    # stay int32 for Mosaic, and every operand is cast explicitly.
+    with jax.enable_x64(False):
+        lse = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=(tips.size + pmats.size + P) * 4,
+                transcendentals=n_nodes * C * P,
+            ),
+            interpret=interpret,
+        )(
+            child.astype(jnp.int32),
+            tips.astype(jnp.float32),
+            pmats.astype(jnp.float32),
+            pi.astype(jnp.float32),
+            logw.astype(jnp.float32).reshape(C, 1),
+        )
     return lse[0]

@@ -63,9 +63,17 @@ def shard_pattern_arrays(engine, mesh: Mesh, axis: str = "sites"):
     return engine
 
 
-def sharded_engine(aln, model, mesh: Mesh, dtype=None, axis="sites"):
+def sharded_engine(aln, model, mesh: Mesh, dtype=None, axis="sites",
+                   use_pallas=None):
     """Build a LikelihoodEngine whose pattern axis is sharded over
-    `axis` of `mesh`.  Pads patterns so the axis divides evenly."""
+    `axis` of `mesh`.  Pads patterns so the axis divides evenly.
+
+    When the fused Pallas kernel is enabled (auto on TPU; force with
+    use_pallas=True for interpret-mode tests on the virtual CPU mesh)
+    it runs PER SHARD under shard_map — each device executes the full
+    tree traversal on its local pattern block, and the only collective
+    is the weighted lnL reduction (psum), mirroring the reference's
+    site independence (mpi_boot.c)."""
     import jax.numpy as jnp
     from phyml_tpu.ops.likelihood import LikelihoodEngine
 
@@ -74,10 +82,9 @@ def sharded_engine(aln, model, mesh: Mesh, dtype=None, axis="sites"):
     eng = LikelihoodEngine(
         aln, model, dtype=dtype,
         pattern_pad=128 * n_shards,
-        # The fused Pallas up-pass is a single-device program; with a
-        # sharded pattern axis the scan path lets XLA's SPMD
-        # partitioner split every op along sites (a shard_mapped
-        # variant of the kernel is future work).
-        use_pallas=False if n_shards > 1 else None,
+        use_pallas=use_pallas,
     )
-    return shard_pattern_arrays(eng, mesh, axis)
+    shard_pattern_arrays(eng, mesh, axis)
+    if eng.pallas_tile and n_shards > 1:
+        eng.attach_mesh(mesh, axis)
+    return eng

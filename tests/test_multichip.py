@@ -149,3 +149,28 @@ def test_boot_axis_replicate_batch():
         for r in range(R)
     ])
     np.testing.assert_allclose(np.asarray(batched), serial, atol=1e-9)
+
+
+def test_sharded_pallas_kernel_matches_scan():
+    """The fused kernel under shard_map (interpret mode on the CPU
+    mesh) must reproduce the unsharded scan-path lnL (VERDICT r2
+    item 3: the multi-chip perf path must not fall back to the
+    HBM-bound scan)."""
+    _require_devices(8)
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.parallel.mesh import make_mesh, sharded_engine
+
+    aln, model, topo, params = _toy(n_otu=10, n_sites=150)
+    tree = tree_arrays(topo.rooted(), dtype=jnp.float32)
+
+    ref_eng = LikelihoodEngine(aln, model, dtype=jnp.float32,
+                               use_pallas=False, pattern_pad=128 * 8)
+    lnl_ref = float(ref_eng.loglik(params, tree))
+
+    mesh = make_mesh(n_boot=1, n_sites=8)
+    eng = sharded_engine(aln, model, mesh, dtype=jnp.float32,
+                         use_pallas=True)
+    assert eng._mesh is mesh and eng.pallas_tile >= 128
+    assert eng.pallas_interpret  # CPU: interpret mode
+    lnl = float(eng.loglik(params, tree))
+    assert lnl == pytest.approx(lnl_ref, abs=5e-3)

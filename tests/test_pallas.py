@@ -63,3 +63,42 @@ def test_pallas_matches_scan_deep_tree(nucleic):
                                             interpret=True))
     k = nucleic.n_patterns
     np.testing.assert_allclose(a[:k], b[:k], atol=1e-3)
+
+
+def test_pallas_absolute_accuracy_vs_float64():
+    """Absolute per-site accuracy of the fused f32 kernel against the
+    float64 scan path at bench scale (128 taxa).  Round 1's kernel
+    passed fused-vs-f32-scan parity while overestimating the total
+    lnL by ~30 units on the 128-taxon bench problem; this pins the
+    absolute error so a scaling-accumulation bug cannot recur."""
+    from phyml_tpu.io.alignment import compact
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.topology import Topology
+
+    rng = np.random.default_rng(20260817)
+    n, S = 128, 512
+    states = rng.integers(0, 4, size=(n, S))
+    enc = np.zeros((n, S, 4), dtype=np.float32)
+    for i in range(n):
+        enc[i, np.arange(S), states[i]] = 1.0
+    aln = compact(enc, [f"t{i}" for i in range(n)], "nt")
+    model = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    params = model.init_params(aln.obs_state_freqs)
+    topo = Topology.random(n, rng, mean_blen=0.08)
+    k = aln.n_patterns
+
+    eng64 = LikelihoodEngine(aln, model, dtype=jnp.float64,
+                             use_pallas=False)
+    ta64 = tree_arrays(topo.rooted(), dtype=jnp.float64)
+    truth = np.asarray(eng64._jit_site_logliks(params, ta64))[:k]
+
+    fused = LikelihoodEngine(aln, model, dtype=jnp.float32,
+                             use_pallas=True)
+    ta32 = tree_arrays(topo.rooted(), dtype=jnp.float32)
+    got = np.asarray(fused._site_loglik_fused(params, ta32,
+                                              interpret=True))[:k]
+    # per-site absolute error AND total bias must both stay small
+    np.testing.assert_allclose(got, truth, atol=2e-3)
+    w = np.asarray(fused.weights)[:k]
+    assert abs(float(np.sum((got - truth) * w))) < 0.5
