@@ -79,9 +79,14 @@ def run_phytime(
     trace_path: str | None = None,
     verbose: bool = False,
     fastlk: bool = False,
+    sample_topology: bool = False,
 ) -> DateResult:
-    """Full dating analysis on a fixed rooted topology.
+    """Full dating analysis.
 
+    sample_topology=True adds the time-tree topology moves (narrow
+    exchange + prune-regraft-on-times, ≙ the reference's
+    MCMC_Prune_Regraft family) so the rooted topology is sampled
+    jointly with times and rates.
     fastlk=True swaps the exact likelihood for the quadratic normal
     approximation around the starting branch lengths (the reference's
     --fastlk, Lk_Normal_Approx lk.c:2521)."""
@@ -103,7 +108,8 @@ def run_phytime(
                       calibrations=tuple(calibrations or ()))
     mcmc = MCMC(engine, model, params, time_tree,
                 RateModel(kind=rate_kind), prior,
-                settings=settings or MCMCSettings(), fastlk=fastlk)
+                settings=settings or MCMCSettings(), fastlk=fastlk,
+                sample_topology=sample_topology)
 
     fh = open(trace_path, "w") if trace_path else None
     try:
@@ -114,7 +120,7 @@ def run_phytime(
 
     heights = np.asarray(state.heights)
     dated = TimeTree(n_otu=time_tree.n_otu,
-                     child=np.asarray(time_tree.child),
+                     child=np.asarray(state.child),
                      heights=heights, names=list(time_tree.names))
     clock = float(np.exp(state.log_clock))
     post = trace[:, 0]

@@ -36,6 +36,10 @@ NEG_INF = -1e30
 
 
 class ChainState(NamedTuple):
+    child: jnp.ndarray      # int32 [n-1, 2] postorder child table —
+    #                         topology is CHAIN STATE (tree moves,
+    #                         ≙ mcmc.c MCMC_Prune_Regraft family)
+    parent: jnp.ndarray     # int32 [2n-1]
     heights: jnp.ndarray    # [2n-1] node heights (tips fixed)
     log_r: jnp.ndarray      # [2n-1] per-edge log relative rates
     log_clock: jnp.ndarray  # scalar
@@ -76,7 +80,9 @@ class MCMC:
                  rate_model: RateModel, time_prior: TimePrior,
                  settings: MCMCSettings | None = None,
                  trait_x=None, trait_kind: str = "rrw",
-                 trait_nu: float = 1.0, fastlk: bool = False):
+                 trait_nu: float = 1.0, fastlk: bool = False,
+                 sample_topology: bool = False,
+                 topo_moves_per_batch: int | None = None):
         """trait_x [n_otu, D] (optional): observed tip coordinates /
         continuous traits; when given, the chain jointly samples the
         movement model (trait_kind in rw/rrw/ibm/iwn/iou) — the
@@ -110,6 +116,19 @@ class MCMC:
         self.trait_x = None if trait_x is None else jnp.asarray(trait_x)
         self.trait_kind = trait_kind
         self.trait_nu = trait_nu
+        self.sample_topology = sample_topology
+        if sample_topology and fastlk:
+            raise ValueError("fastlk expands around ONE topology; "
+                             "it cannot support tree moves")
+        if sample_topology and trait_x is not None and \
+                trait_kind not in ("rw", "rrw"):
+            raise ValueError(
+                f"tree moves with trait_kind={trait_kind!r} are not "
+                "supported (its trait likelihood bakes the topology "
+                "in at trace time)")
+        self.topo_moves_per_batch = (
+            topo_moves_per_batch if topo_moves_per_batch is not None
+            else max(4, time_tree.n_otu))
 
         n = time_tree.n_otu
         self.n_otu = n
@@ -171,14 +190,17 @@ class MCMC:
             self._normal_approx = fit_normal_approx(
                 engine, self.subst_fixed, tree0, engine.weights)
 
-        self._jit_batch = jax.jit(self._run_batch,
+        # engine data rides in as traced arguments (bind_data): a
+        # closure-captured tips tensor would embed MBs of constants in
+        # the batch program and cripple dispatch (see likelihood.py)
+        self._jit_batch = jax.jit(engine.bind_data(self._run_batch),
                                   static_argnames=("n_steps",))
 
     # ------------------------------------------------------------------
     # joint posterior
     # ------------------------------------------------------------------
     def _blen(self, state: ChainState):
-        dt = (state.heights[self.parent] - state.heights
+        dt = (state.heights[state.parent] - state.heights
               ).at[self.root].set(0.0)
         rates = self.rate_model.rates(state.log_r, self.root)
         blen = jnp.exp(state.log_clock) * rates * dt
@@ -194,7 +216,7 @@ class MCMC:
             # so fastlk chains hold them fixed (as the reference does).
             return self._normal_approx.loglik(
                 blen.astype(self.engine.dtype))
-        tree = TreeArrays(child=self.child,
+        tree = TreeArrays(child=state.child,
                           blen=blen.astype(self.engine.dtype))
         subst = {**self.subst_fixed, **state.subst}
         if self.rate_model.kind == "guindon":
@@ -209,11 +231,11 @@ class MCMC:
         return self.engine._loglik(subst, tree, self.engine.weights)
 
     def _log_prior(self, state: ChainState):
-        dt = (state.heights[self.parent] - state.heights
+        dt = (state.heights[state.parent] - state.heights
               ).at[self.root].set(0.0)
         feasible = jnp.min(dt) >= -1e-12
         nu = jnp.exp(state.log_nu)
-        lp = self.rate_model.log_prior(state.log_r, dt, self.parent,
+        lp = self.rate_model.log_prior(state.log_r, dt, state.parent,
                                        nu, self.root)
         lp = lp + self.time_prior.log_prior(state.heights, self.n_otu,
                                             state.hyper)
@@ -240,7 +262,7 @@ class MCMC:
             dtc = jnp.maximum(dt, 0.0)
             if self.trait_kind in ("rw", "rrw"):
                 lk_x = location_loglik(
-                    self.trait_kind, self.trait_x, self.child, dtc,
+                    self.trait_kind, self.trait_x, state.child, dtc,
                     s2x, log_scalers=state.trait_lr,
                     nu=jnp.asarray(self.trait_nu))
             else:
@@ -258,16 +280,16 @@ class MCMC:
         # random internal non-root node
         i = jax.random.randint(k1, (), 0, self.n_otu - 2)
         u = self.n_otu + i
-        lo = jnp.maximum(st.heights[self.child[i, 0]],
-                         st.heights[self.child[i, 1]])
-        hi = st.heights[self.parent[u]]
+        lo = jnp.maximum(st.heights[st.child[i, 0]],
+                         st.heights[st.child[i, 1]])
+        hi = st.heights[st.parent[u]]
         h = jax.random.uniform(k2, (), minval=lo, maxval=hi)
         return st._replace(heights=st.heights.at[u].set(h)), 0.0, True
 
     def _mv_root_scale(self, st, key, step):
         i = self.root - self.n_otu
-        lo = jnp.maximum(st.heights[self.child[i, 0]],
-                         st.heights[self.child[i, 1]])
+        lo = jnp.maximum(st.heights[st.child[i, 0]],
+                         st.heights[st.child[i, 1]])
         m = jnp.exp(step * (jax.random.uniform(key, ()) - 0.5))
         h = lo + m * (st.heights[self.root] - lo)
         return (st._replace(heights=st.heights.at[self.root].set(h)),
@@ -416,9 +438,194 @@ class MCMC:
         return st, tries, accs, trace
 
     # ------------------------------------------------------------------
+    # topology moves (host-side, between jitted batches)
+    # ------------------------------------------------------------------
+    # The reference's dating MCMC mixes rare structural moves
+    # (MCMC_Prune_Regraft + variants, mcmc.c:6591-6668) with the dense
+    # scalar moves.  Here the dense moves run on-device in lax.scan
+    # batches; topology proposals run on host between batches (each
+    # needs tree surgery + one posterior evaluation), with the
+    # postorder child table renumbered after every accepted move so
+    # the engine's scan schedule stays valid.
+
+    def _eval_posterior(self, st: ChainState):
+        fn = getattr(self, "_jit_eval_", None)
+        if fn is None:
+            fn = jax.jit(self.engine.bind_data(
+                lambda s: (self._lnL(s), self._log_prior(s))))
+            self._jit_eval_ = fn
+        lnL, lp = fn(self.engine.data(), st)
+        return (jnp.asarray(lnL, dtype=jnp.float64),
+                jnp.asarray(lp, dtype=jnp.float64))
+
+    def _narrow_exchange(self, child, parent, heights, rng):
+        """Narrow exchange: swap a random child g of internal node c
+        with c's sibling s (symmetric proposal; invalid if the moved
+        sibling would be older than its new parent).  Returns
+        (child', parent', log_hastings) or None."""
+        n = self.n_otu
+        c = int(rng.integers(n, self.root))       # internal, non-root
+        p = int(parent[c])
+        row_p = child[p - n]
+        s = int(row_p[1] if int(row_p[0]) == c else row_p[0])
+        gi = int(rng.integers(0, 2))
+        g = int(child[c - n][gi])
+        if heights[c] <= heights[s]:
+            return None                            # h(c) must exceed h(s)
+        ch = child.copy()
+        pa = parent.copy()
+        ch[p - n] = [c, g]
+        ch[c - n][gi] = s
+        pa[g] = p
+        pa[s] = c
+        return ch, pa, 0.0
+
+    def _spr_times(self, child, parent, heights, rng):
+        """Prune-regraft at fixed height: detach node x (with its
+        parent p), regraft p into a random edge spanning h(p)
+        (≙ MCMC_Prune_Regraft, mcmc.c).  Hastings = log F - log R
+        where F/R count spanning edges before/after."""
+        n = self.n_otu
+        x = int(rng.integers(0, self.root))        # any non-root node
+        p = int(parent[x])
+        if p == self.root:
+            return None
+        g = int(parent[p])
+        row_p = child[p - n]
+        s = int(row_p[1] if int(row_p[0]) == x else row_p[0])
+        hp = heights[p]
+
+        def in_subtree(b, root_of):
+            while b != self.root:
+                if b == root_of:
+                    return True
+                b = int(parent[b])
+            return b == root_of
+
+        def spanning(ch, pa, exclude_sib):
+            out = []
+            for b in range(self.root):
+                a = int(pa[b])
+                if heights[a] > hp >= heights[b] and b != x \
+                        and b != p and b != exclude_sib \
+                        and not in_subtree(b, x):
+                    out.append(b)
+            return out
+
+        cands = spanning(child, parent, s)
+        if not cands:
+            return None
+        b = int(cands[rng.integers(0, len(cands))])
+        a = int(parent[b])
+        ch = child.copy()
+        pa = parent.copy()
+        # detach: g adopts s in place of p
+        row_g = ch[g - n]
+        ch[g - n] = [s if int(v) == p else int(v) for v in row_g]
+        pa[s] = g
+        # attach: a adopts p in place of b; p's children = {x, b}
+        row_a = ch[a - n]
+        ch[a - n] = [p if int(v) == b else int(v) for v in row_a]
+        pa[p] = a
+        ch[p - n] = [x, b]
+        pa[b] = p
+        # reverse move count: spanning edges in the NEW tree for the
+        # same pivot height, excluding x's NEW sibling b
+        def spanning_new():
+            def in_sub_new(bb):
+                q = bb
+                while q != self.root:
+                    if q == x:
+                        return True
+                    q = int(pa[q])
+                return False
+            out = []
+            for bb in range(self.root):
+                aa = int(pa[bb])
+                if heights[aa] > hp >= heights[bb] and bb != x \
+                        and bb != p and bb != b and not in_sub_new(bb):
+                    out.append(bb)
+            return out
+
+        R = len(spanning_new())
+        if R == 0:
+            return None
+        log_h = float(np.log(len(cands)) - np.log(R))
+        return ch, pa, log_h
+
+    @staticmethod
+    def _renumber_postorder(child, parent, n_otu):
+        """Renumber internal nodes of a (possibly non-postorder) child
+        table into valid postorder (children strictly below parents).
+        Returns (child', parent', perm) with perm[old_id] = new_id
+        (identity on tips; root maps to root)."""
+        n_nodes = 2 * n_otu - 1
+        root = n_nodes - 1
+        kids = {n_otu + i: [int(child[i, 0]), int(child[i, 1])]
+                for i in range(n_otu - 1)}
+        # find current root: node that is its own parent
+        cur_root = int(np.nonzero(parent == np.arange(n_nodes))[0][0])
+        perm = np.arange(n_nodes)
+        order = []
+        stack = [(cur_root, False)]
+        while stack:
+            u, done = stack.pop()
+            if u < n_otu:
+                continue
+            if done:
+                order.append(u)
+            else:
+                stack.append((u, True))
+                for v in kids[u]:
+                    stack.append((v, False))
+        for new_i, old in enumerate(order):
+            perm[old] = n_otu + new_i
+        assert perm[cur_root] == root
+        new_child = np.zeros_like(child)
+        new_parent = np.zeros(n_nodes, dtype=parent.dtype)
+        for old in order:
+            i_new = perm[old] - n_otu
+            new_child[i_new] = [perm[kids[old][0]], perm[kids[old][1]]]
+        for u in range(n_nodes):
+            new_parent[perm[u]] = perm[int(parent[u])]
+        return new_child, new_parent, perm
+
+    def topology_step(self, st: ChainState, rng) -> tuple:
+        """One host-side topology proposal (narrow exchange or
+        prune-regraft-on-times, 50/50) + MH accept.  Returns
+        (state, kind, accepted)."""
+        child = np.asarray(st.child)
+        parent = np.asarray(st.parent)
+        heights = np.asarray(st.heights)
+        kind = "narrow" if rng.random() < 0.5 else "spr"
+        res = (self._narrow_exchange(child, parent, heights, rng)
+               if kind == "narrow"
+               else self._spr_times(child, parent, heights, rng))
+        if res is None:
+            return st, kind, False
+        ch, pa, log_h = res
+        ch2, pa2, perm = self._renumber_postorder(ch, pa, self.n_otu)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        prop = st._replace(
+            child=jnp.asarray(ch2, dtype=jnp.int32),
+            parent=jnp.asarray(pa2, dtype=jnp.int32),
+            heights=jnp.asarray(heights[inv]),
+            log_r=st.log_r[inv],
+            trait_lr=st.trait_lr[inv],
+        )
+        lnL_new, lp_new = self._eval_posterior(prop)
+        log_alpha = float(lnL_new + lp_new - st.lnL - st.lp) + log_h
+        if np.log(rng.random()) < log_alpha:
+            return (prop._replace(lnL=lnL_new, lp=lp_new), kind, True)
+        return st, kind, False
+
+    # ------------------------------------------------------------------
     def init_state(self, subst_params=None) -> ChainState:
         heights = jnp.asarray(self.tt.heights, dtype=jnp.float64)
         st = ChainState(
+            child=self.child,
+            parent=self.parent,
             heights=heights,
             log_r=jnp.zeros(self.n_nodes, dtype=jnp.float64),
             log_clock=jnp.asarray(0.0, dtype=jnp.float64),
@@ -452,11 +659,22 @@ class MCMC:
         if trace_fh is not None:
             trace_fh.write("iter\tposterior\tlnL\troot_height\t"
                            "clock\tnu\n")
+        topo_rng = np.random.default_rng(s.seed + 77003)
+        self.topo_tries = 0
+        self.topo_accepts = 0
+        self.topo_samples = []   # (iter, child table) after each batch
         while done < s.n_iter:
             n = min(s.batch, s.n_iter - done)
             key, sub = jax.random.split(key)
-            st, tries, accs, trace = self._jit_batch(st, sub, steps,
-                                                     n_steps=n)
+            st, tries, accs, trace = self._jit_batch(
+                self.engine.data(), st, sub, steps, n_steps=n)
+            if self.sample_topology:
+                for _ in range(self.topo_moves_per_batch):
+                    st, _kind, acc = self.topology_step(st, topo_rng)
+                    self.topo_tries += 1
+                    self.topo_accepts += int(acc)
+                self.topo_samples.append(
+                    (done + n, np.asarray(st.child).copy()))
             tries = np.asarray(tries)
             accs = np.asarray(accs)
             tot_tries += tries
@@ -489,4 +707,19 @@ class MCMC:
                       f"posterior={float(st.lnL + st.lp):.3f} "
                       f"lnL={float(st.lnL):.3f}")
         acc_rate = tot_accs / np.maximum(tot_tries, 1)
-        return st, np.concatenate(traces, axis=0), acc_rate
+        trace_all = np.concatenate(traces, axis=0)
+        from phyml_tpu.bayes.diagnostics import ess_report
+        self.ess = ess_report(trace_all,
+                              burnin_rows=min(s.burnin,
+                                              trace_all.shape[0] // 2))
+        if trace_fh is not None:
+            trace_fh.write("# ESS: " + "  ".join(
+                f"{k}={v:.1f}" for k, v in self.ess.items()) + "\n")
+            if self.sample_topology and self.topo_tries:
+                trace_fh.write(
+                    f"# topology moves: {self.topo_accepts}/"
+                    f"{self.topo_tries} accepted\n")
+        if verbose:
+            print("  ESS:", {k: round(v, 1)
+                             for k, v in self.ess.items()})
+        return st, trace_all, acc_rate

@@ -59,11 +59,10 @@ def _mrca_all(child, n):
     return M, parent
 
 
-def ancestral_locations(tt: TimeTree, tip_x, sigma2,
-                        edge_scalers=None, root_var=1e4):
-    """Exact BM/RRW conditional means of internal-node locations given
-    tip locations (≙ PHYREX_Ldsk_To_Tree location sampling, done in
-    closed form instead of by simulation)."""
+def ancestral_locations_dense(tt: TimeTree, tip_x, sigma2,
+                              edge_scalers=None, root_var=1e4):
+    """O(n^3) reference implementation (dense tip covariance solve);
+    kept as the oracle for the message-passing version below."""
     n = tt.n_otu
     n_nodes = tt.n_nodes
     dt = tt.edge_durations()
@@ -83,6 +82,78 @@ def ancestral_locations(tt: TimeTree, tip_x, sigma2,
     return out
 
 
+def ancestral_locations(tt: TimeTree, tip_x, sigma2,
+                        edge_scalers=None, root_var=1e4):
+    """Exact BM/RRW conditional means of internal-node locations given
+    tip locations via Gaussian belief propagation on the tree — O(n)
+    per trait dimension, the same message-passing structure as the
+    reference's RW_Integrated_Lk_Down (rw.c:226).  Matches the dense
+    GLS solution to numerical precision (tested)."""
+    n = tt.n_otu
+    n_nodes = tt.n_nodes
+    x = np.asarray(tip_x, dtype=np.float64)
+    dt = tt.edge_durations()
+    ev = sigma2 * dt
+    if edge_scalers is not None:
+        ev = ev * np.asarray(edge_scalers)
+    child = np.asarray(tt.child)
+    D = x.shape[1]
+
+    # upward pass: message (m_u, v_u) = posterior of node u's location
+    # given data BELOW u (v = variance; tips are exact: v = 0)
+    m = np.zeros((n_nodes, D))
+    v = np.zeros(n_nodes)
+    m[:n] = x
+    for i in range(n - 1):
+        c0, c1 = int(child[i, 0]), int(child[i, 1])
+        u = n + i
+        va = v[c0] + ev[c0]
+        vb = v[c1] + ev[c1]
+        v[u] = va * vb / (va + vb)
+        m[u] = (m[c0] * vb + m[c1] * va) / (va + vb)
+
+    # downward pass: fold in the data OUTSIDE each node.  d/w is the
+    # outside message at u (w = inf at the root for an improper /
+    # root_var-flat prior: the root conditional mean is the upward
+    # combine, matching the dense GLS limit).
+    out = np.zeros((n_nodes, D))
+    d_msg = np.zeros((n_nodes, D))
+    w_msg = np.full(n_nodes, np.inf)
+    root = n_nodes - 1
+    w_msg[root] = root_var
+    d_msg[root] = 0.0
+    out[root] = _combine(m[root], v[root], d_msg[root], w_msg[root])
+    for i in range(n - 2, -1, -1):
+        c0, c1 = int(child[i, 0]), int(child[i, 1])
+        u = n + i
+        for c, s in ((c0, c1), (c1, c0)):
+            # outside of c = (outside of u) ⊗ (upward of sibling s),
+            # pushed through c's edge variance
+            dm, wm = _combine2(d_msg[u], w_msg[u],
+                               m[s], v[s] + ev[s])
+            d_msg[c] = dm
+            w_msg[c] = wm + ev[c]
+        out[c0] = _combine(m[c0], v[c0], d_msg[c0], w_msg[c0])
+        out[c1] = _combine(m[c1], v[c1], d_msg[c1], w_msg[c1])
+    out[:n] = x
+    return out
+
+
+def _combine2(m1, v1, m2, v2):
+    """Product of two Gaussian messages -> (mean, variance), handling
+    infinite (uninformative) variances."""
+    if np.isinf(v1):
+        return m2, v2
+    if np.isinf(v2):
+        return m1, v1
+    w = v1 * v2 / (v1 + v2)
+    return (m1 * v2 + m2 * v1) / (v1 + v2), w
+
+
+def _combine(m1, v1, m2, v2):
+    return _combine2(m1, v1, m2, v2)[0]
+
+
 def run_phyrex(
     aln,
     coords,
@@ -94,10 +165,17 @@ def run_phyrex(
     settings: MCMCSettings | None = None,
     trace_path: str | None = None,
     verbose: bool = False,
+    sample_topology: bool | None = None,
 ) -> PhyrexResult:
-    """Joint sequence + coordinate analysis on a fixed rooted
-    topology.  `coords` [n_otu, D] in taxon order (lat/lon or any
-    Euclidean projection, ≙ the <coordinates> blocks of phyrex XML)."""
+    """Joint sequence + coordinate phylogeography.  `coords`
+    [n_otu, D] in taxon order (lat/lon or any Euclidean projection,
+    ≙ the <coordinates> blocks of phyrex XML).
+
+    sample_topology (default: True for rw/rrw movement models): the
+    chain jointly samples (genealogy, node times, locations) via the
+    time-tree moves — the reference's PHYREX_MCMC samples the
+    genealogy too (phyrex.c:1234).  The integrated movement models
+    (ibm/iwn/iou) currently require a fixed genealogy."""
     import jax
 
     from phyml_tpu.models.substitution import SubstModel
@@ -112,10 +190,13 @@ def run_phyrex(
     engine = LikelihoodEngine(aln, model)
     params = model.init_params(aln.obs_state_freqs)
 
+    if sample_topology is None:
+        sample_topology = trait_kind in ("rw", "rrw")
     mcmc = MCMC(engine, model, params, time_tree,
                 RateModel(kind=rate_kind), TimePrior(kind=prior_kind),
                 settings=settings or MCMCSettings(),
-                trait_x=np.asarray(coords), trait_kind=trait_kind)
+                trait_x=np.asarray(coords), trait_kind=trait_kind,
+                sample_topology=sample_topology)
     fh = open(trace_path, "w") if trace_path else None
     try:
         state, trace, acc = mcmc.run(trace_fh=fh, verbose=verbose)
@@ -125,7 +206,7 @@ def run_phyrex(
 
     heights = np.asarray(state.heights)
     dated = TimeTree(n_otu=time_tree.n_otu,
-                     child=np.asarray(time_tree.child),
+                     child=np.asarray(state.child),
                      heights=heights, names=list(time_tree.names))
     s2 = float(np.exp(state.log_s2x))
     scalers = (np.exp(np.asarray(state.trait_lr))

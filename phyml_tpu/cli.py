@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                    help="force the JAX backend (cpu enables float64 "
                         "parity runs even when a TPU is attached)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run via jax.distributed (env-"
+                        "configured): bootstrap replicates are farmed "
+                        "round-robin over processes, counts reduced "
+                        "globally (the phyml-mpi equivalent)")
     p.add_argument("--weights", default=None,
                    help="site-weight file")
     # covarion (M4) family; the reference's --cov CLI (cl.c:69-74) is
@@ -218,6 +223,13 @@ def run_analysis(args) -> int:
         if args.platform == "cpu" and not args.float32:
             # CPU parity runs want real float64 scalars
             jax.config.update("jax_enable_x64", True)
+    if args.distributed:
+        from phyml_tpu.parallel.boot import initialize_distributed
+        pid, nproc = initialize_distributed()
+        if pid != 0:
+            args.quiet = True
+        if not args.quiet:
+            print(f". Distributed run: process {pid} of {nproc}.")
 
     from phyml_tpu.io.alignment import (
         read_alignment, read_alignments_multi, read_site_weights,
@@ -417,12 +429,22 @@ def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
     support = None
     b = args.bootstrap
     if b > 0:
-        support = bootstrap_supports(
-            engine, model, params, topo, n_replicates=b,
-            search="spr" if args.search in ("SPR", "BEST") else "nni",
-            seed=seed, bayesian=args.bayesian_bootstrap, tbe=args.tbe,
-            verbose=not args.quiet,
-        )
+        boot_search = "spr" if args.search in ("SPR", "BEST") else "nni"
+        if args.distributed and jax.process_count() > 1:
+            from phyml_tpu.parallel.boot import run_bootstrap_distributed
+            support = run_bootstrap_distributed(
+                engine, model, params, topo, n_replicates=b,
+                search=boot_search, seed=seed,
+                bayesian=args.bayesian_bootstrap, tbe=args.tbe,
+                verbose=not args.quiet,
+            )
+        else:
+            support = bootstrap_supports(
+                engine, model, params, topo, n_replicates=b,
+                search=boot_search,
+                seed=seed, bayesian=args.bayesian_bootstrap,
+                tbe=args.tbe, verbose=not args.quiet,
+            )
         support_fmt = "%.0f"
         support = {eid: v * b for eid, v in support.items()}
     elif b < 0:
@@ -435,6 +457,10 @@ def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
         support_fmt = "%.2f"
 
     # ---- outputs ------------------------------------------------------
+    if args.distributed and jax.process_index() != 0:
+        # rank-0-writes pattern (mpi_boot.c:282-314); all processes
+        # participated in the count reduction above
+        return 0
     pars = parsimony_score(engine, topo)
     stats = format_stats(
         input_name=args.input, aln=aln, model=model, params=params,

@@ -29,9 +29,21 @@ def parse_xml(path: str) -> dict:
     root = tree.getroot()
     base = os.path.dirname(os.path.abspath(path))
     cfg = {
+        "kind": root.tag,                    # phyml | phytime | phyrex
         "run_id": root.get("run.id"),
         "output_file": root.get("output.file"),
         "branch_test": root.get("branch.test", "no"),
+        "r_seed": int(float(root.get("r.seed", "0"))),
+        # MCMC driver attributes (phytime/phyrex roots, xml.c)
+        "mcmc": {
+            "chain_len": int(float(root.get("mcmc.chain.len", "1e5"))),
+            "sample_every": int(float(root.get("mcmc.sample.every",
+                                               "1000"))),
+            "burnin": int(float(root.get("mcmc.burnin", "1000"))),
+        },
+        "lineagerates": None,
+        "clockrate": {},
+        "coordinates": None,
         "topology": {},
         "ratematrices": {},
         "siterates": {},
@@ -40,6 +52,22 @@ def parse_xml(path: str) -> dict:
         "branchlengths": {},
         "partitions": [],
     }
+
+    lr = root.find("lineagerates")
+    if lr is not None:
+        cfg["lineagerates"] = lr.get("model", "lognormal").lower()
+    cr = root.find("clockrate")
+    if cr is not None:
+        cfg["clockrate"] = {
+            "value": float(cr.get("value", "1.0")),
+            "optimise": cr.get("optimise.clock",
+                               cr.get("optimize.clock", "true"))
+            not in ("false", "no"),
+        }
+    co = root.find("coordinates")
+    if co is not None:
+        cfg["coordinates"] = os.path.normpath(
+            os.path.join(base, co.get("file.name")))
 
     topo = root.find("topology")
     if topo is not None:
@@ -178,7 +206,13 @@ def build_model_from_xml(cfg: dict, part: dict):
     return model, overrides
 
 
-def run_xml(path: str, quiet: bool = False) -> int:
+def run_xml(path: str, quiet: bool = False,
+            mcmc_iter_cap: int | None = None) -> int:
+    """Dispatch on the XML root tag: <phyml> ML analyses,
+    <phytime> Bayesian dating (date.c DATE_XML), <phyrex> joint
+    phylogeography (phyrex.c PHYREX_XML).  mcmc_iter_cap bounds the
+    chain length below the XML's mcmc.chain.len (tests / smoke runs;
+    production uses the XML value, as the reference does)."""
     import jax
     import jax.numpy as jnp
 
@@ -192,6 +226,9 @@ def run_xml(path: str, quiet: bool = False) -> int:
 
     t0 = time.time()
     cfg = parse_xml(path)
+    if cfg["kind"] in ("phytime", "phyrex"):
+        return _run_xml_bayes(path, cfg, quiet=quiet,
+                              mcmc_iter_cap=mcmc_iter_cap)
     if not cfg["partitions"]:
         raise ValueError(f"{path}: no <partitionelem> found")
     if len(cfg["partitions"]) > 1:
@@ -249,6 +286,130 @@ def run_xml(path: str, quiet: bool = False) -> int:
     if not quiet:
         print(f". Log-likelihood: {lnl:.5f}")
         print(f". Results written to {tree_path} and {stats_path}")
+    return 0
+
+
+def read_coordinates(path: str, names: list[str]) -> np.ndarray:
+    """Parse a phyrex coordinates file (usa_coord.txt format:
+    '# state.name lon lat' header then '|Name| lon lat' rows) and map
+    each taxon to its row.  The reference matches a row when its name
+    token appears in the taxon label (PHYREX_XML's coordinate lookup);
+    exact taxon-name rows also match."""
+    rows: dict[str, tuple[float, float]] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            try:
+                xy = (float(parts[-2]), float(parts[-1]))
+            except ValueError:
+                continue
+            rows[" ".join(parts[:-2])] = xy
+    out = np.zeros((len(names), 2))
+    for i, nm in enumerate(names):
+        hit = rows.get(nm)
+        if hit is None:
+            for key, xy in rows.items():
+                if key and key in nm:
+                    hit = xy
+                    break
+        if hit is None:
+            raise ValueError(f"no coordinates for taxon {nm!r} "
+                             f"in {path}")
+        out[i] = hit
+    return out
+
+
+def _run_xml_bayes(path: str, cfg: dict, quiet: bool,
+                   mcmc_iter_cap: int | None) -> int:
+    """<phytime> / <phyrex> execution: build the model from the same
+    schema elements as <phyml>, construct a starting chronogram
+    (BioNJ + branch lengths, rooted), read calibrations (and
+    coordinates for phyrex), run the joint MCMC, write trace + stats
+    + chronogram (≙ DATE_XML date.c:37 and PHYREX_XML phyrex.c:37)."""
+    import jax
+    import jax.numpy as jnp
+
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.date import calibrations_from_xml
+    from phyml_tpu.bayes.mcmc import MCMCSettings
+    from phyml_tpu.io.alignment import read_alignment
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.optim.blen import optimize_branch_lengths
+    from phyml_tpu.search.bionj import bionj_start
+    from phyml_tpu.topology import Topology
+
+    if not cfg["partitions"]:
+        raise ValueError(f"{path}: no <partitionelem> found")
+    part = cfg["partitions"][0]
+    aln = read_alignment(part["file"], datatype=part["datatype"],
+                         interleaved=part["interleaved"])
+    model, overrides = build_model_from_xml(cfg, part)
+    params = model.init_params(aln.obs_state_freqs)
+    for k, v in overrides.items():
+        params[k] = jnp.asarray(v)
+
+    engine = LikelihoodEngine(aln, model)
+
+    tcfg = cfg["topology"]
+    if tcfg.get("file"):
+        with open(tcfg["file"]) as fh:
+            topo = Topology.from_newick(fh.read(), aln.names)
+    else:
+        topo = bionj_start(engine, params)
+    ta = tree_arrays(topo.rooted(), dtype=engine.dtype)
+    ta, _ = optimize_branch_lengths(engine, params, ta)
+    topo.set_blen_from_rooted(topo.rooted(), np.asarray(ta.blen))
+    tt = TimeTree.from_topology(topo, names=list(aln.names))
+
+    cals = calibrations_from_xml(path)
+    n_iter = cfg["mcmc"]["chain_len"]
+    if mcmc_iter_cap is not None:
+        n_iter = min(n_iter, mcmc_iter_cap)
+    settings = MCMCSettings(
+        n_iter=n_iter,
+        burnin=min(cfg["mcmc"]["burnin"], n_iter // 2),
+        thin=max(1, cfg["mcmc"]["sample_every"]),
+        seed=cfg["r_seed"],
+    )
+    rate_kind = cfg["lineagerates"] or "lognormal"
+    sample_topo = tcfg.get("optimise", True)
+
+    base = os.path.dirname(os.path.abspath(path))
+    prefix = os.path.join(base, cfg["output_file"] or "phyml_tpu_out")
+    if cfg["run_id"]:
+        prefix += f"_{cfg['run_id']}"
+    trace_path = prefix + "_phyml_trace.txt"
+
+    if cfg["kind"] == "phyrex":
+        from phyml_tpu.bayes.phyrex import print_summary, run_phyrex
+        coords = read_coordinates(cfg["coordinates"], list(aln.names))
+        res = run_phyrex(
+            aln, coords, tt, model=model, trait_kind="rrw",
+            rate_kind=rate_kind, settings=settings,
+            trace_path=trace_path, verbose=not quiet,
+            sample_topology=sample_topo,
+        )
+    else:
+        from phyml_tpu.bayes.date import print_summary, run_phytime
+        res = run_phytime(
+            aln, tt, model=model, rate_kind=rate_kind,
+            prior_kind="birthdeath", calibrations=cals,
+            settings=settings, trace_path=trace_path,
+            verbose=not quiet, sample_topology=sample_topo,
+        )
+
+    with open(prefix + "_phyml_stats.txt", "w") as fh:
+        print_summary(res, out=fh)
+    with open(prefix + "_chronogram.txt", "w") as fh:
+        fh.write(res.tree.to_newick() + "\n")
+    if not quiet:
+        print_summary(res)
+        print(f". Trace written to {trace_path}")
     return 0
 
 

@@ -52,7 +52,7 @@ def marginal_posteriors(eng: LikelihoodEngine, params, tree: TreeArrays,
     p_i = (1-pinv) p_i + pinv * inv_lk * pi_i, normalized by the site
     likelihood).
     """
-    probs = _jit_marginals(eng)(params, tree)
+    probs = _jit_marginals(eng)(eng.data(), params, tree)
     if include_root:
         return probs
     return probs[:-1]
@@ -60,7 +60,8 @@ def marginal_posteriors(eng: LikelihoodEngine, params, tree: TreeArrays,
 
 def _jit_marginals(eng: LikelihoodEngine):
     if not hasattr(eng, "_jit_marginal_cache"):
-        eng._jit_marginal_cache = jax.jit(lambda p, t: _marginals(eng, p, t))
+        eng._jit_marginal_cache = jax.jit(
+            eng.bind_data(lambda p, t: _marginals(eng, p, t)))
     return eng._jit_marginal_cache
 
 
@@ -185,10 +186,11 @@ def sample_ancestral(eng: LikelihoodEngine, params, tree: TreeArrays,
     """
     if not hasattr(eng, "_jit_sample_cache"):
         eng._jit_sample_cache = jax.jit(
-            lambda p, t, k, fp: _sample(eng, p, t, k, fp),
-            static_argnums=(3,),
+            eng.bind_data(lambda p, t, k, fp: _sample(eng, p, t, k, fp)),
+            static_argnames=("fp",),
         )
-    return eng._jit_sample_cache(params, tree, key, bool(from_prior))
+    return eng._jit_sample_cache(eng.data(), params, tree, key,
+                                 fp=bool(from_prior))
 
 
 def _sample(eng: LikelihoodEngine, params, tree: TreeArrays, key,

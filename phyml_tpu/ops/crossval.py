@@ -64,7 +64,8 @@ def tip_predictive_probs(engine, params, tree):
         pred = pred / jnp.sum(pred, axis=1, keepdims=True)
         return jnp.transpose(pred, (0, 2, 1))              # [n,P,ns]
 
-    probs = jax.jit(_probs)(params, tree)
+    probs = jax.jit(engine.bind_data(_probs))(
+        engine.data(), params, tree)
     ns_obs = engine.aln.partials.shape[-1]
     probs = np.asarray(probs)[:, : engine.aln.n_patterns, :]
     if probs.shape[-1] != ns_obs:

@@ -145,10 +145,18 @@ class LikelihoodEngine:
             else np.finfo(np.float64).tiny
 
         # compiled entry points (weights default to the alignment's
-        # pattern counts; bootstrap passes resampled vectors)
-        self._jit_loglik = jax.jit(self._loglik)
-        self._jit_loglik_full = jax.jit(self._loglik_full)
-        self._jit_site_logliks = jax.jit(self._site_logliks)
+        # pattern counts; bootstrap passes resampled vectors).
+        # ALL device data (tips, invariant masks) rides in as jit
+        # ARGUMENTS via bind_data, never as closure constants: on the
+        # tunneled TPU runtime, programs with multi-MB embedded
+        # constants execute ~20x slower (measured 0.79 ms vs 0.034 ms
+        # per full-likelihood eval) and degrade every subsequent
+        # dispatch in the process.
+        self._jit_loglik = jax.jit(self.bind_data(self._loglik))
+        self._jit_loglik_full = jax.jit(
+            self.bind_data(self._loglik_full))
+        self._jit_site_logliks = jax.jit(
+            self.bind_data(self._site_logliks))
         # host-cached eigensystem path: the eigendecomposition only
         # changes when model parameters change (the reference runs
         # Update_Eigen models.c:881 once per parameter update, then
@@ -157,9 +165,36 @@ class LikelihoodEngine:
         # system instead of re-tracing eigh into every program —
         # measured ~2x on the full-likelihood eval
         self._jit_system = jax.jit(self._system)
-        self._jit_loglik_sys = jax.jit(self._loglik_sys)
-        self._jit_site_logliks_sys = jax.jit(self._site_logliks_sys)
+        self._jit_loglik_sys = jax.jit(self.bind_data(self._loglik_sys))
+        self._jit_site_logliks_sys = jax.jit(
+            self.bind_data(self._site_logliks_sys))
         self._sys_cache = None
+
+    # ------------------------------------------------------------------
+    # device-data threading: tips + invariant masks as jit arguments
+    # ------------------------------------------------------------------
+    def data(self):
+        """The engine's device-resident data arrays, to be passed as
+        the first argument of any bind_data-wrapped jitted program."""
+        return (self.tips, self.invar_state, self.invar_ok)
+
+    def bind_data(self, fn):
+        """Wrap fn so its first argument is the data() tuple: during
+        tracing the engine attributes are swapped for the traced
+        values, so every internal method reads traced arguments
+        instead of baking device arrays into the program."""
+        # NB: no functools.wraps — copying fn's signature would make
+        # jax.jit resolve static_argnames against the UNSHIFTED
+        # argument positions (the data tuple prepends one)
+        def wrapped(data, *args, **kw):
+            old = (self.tips, self.invar_state, self.invar_ok)
+            self.tips, self.invar_state, self.invar_ok = data
+            try:
+                return fn(*args, **kw)
+            finally:
+                self.tips, self.invar_state, self.invar_ok = old
+
+        return wrapped
 
     def _w(self, weights):
         return self.weights if weights is None else weights
@@ -186,14 +221,16 @@ class LikelihoodEngine:
         self._sys_cache = None
 
     def loglik(self, params, tree, weights=None):
-        return self._jit_loglik_sys(self.system_of(params), tree,
-                                    self._w(weights))
+        return self._jit_loglik_sys(self.data(), self.system_of(params),
+                                    tree, self._w(weights))
 
     def site_logliks(self, params, tree):
-        return self._jit_site_logliks_sys(self.system_of(params), tree)
+        return self._jit_site_logliks_sys(self.data(),
+                                          self.system_of(params), tree)
 
     def loglik_full(self, params, tree, weights=None):
-        return self._jit_loglik_full(params, tree, self._w(weights))
+        return self._jit_loglik_full(self.data(), params, tree,
+                                     self._w(weights))
 
     # ------------------------------------------------------------------
     # model plumbing
@@ -438,7 +475,8 @@ class LikelihoodEngine:
         blen*sigma, and P is its expectation (PMat_MGF_Gamma
         models.c:1044; gamma_mgf_bl path of lk.c:2310-2323).  This is
         the exact likelihood of the Guindon 2012 relaxed clock."""
-        return self._jit_loglik_mgf(self.system_of(params), tree,
+        return self._jit_loglik_mgf(self.data(),
+                                    self.system_of(params), tree,
                                     jnp.asarray(sigma, self.dtype),
                                     self._w(weights))
 
@@ -446,7 +484,7 @@ class LikelihoodEngine:
     def _jit_loglik_mgf(self):
         fn = getattr(self, "_jit_loglik_mgf_", None)
         if fn is None:
-            fn = jax.jit(self._loglik_mgf_sys)
+            fn = jax.jit(self.bind_data(self._loglik_mgf_sys))
             self._jit_loglik_mgf_ = fn
         return fn
 

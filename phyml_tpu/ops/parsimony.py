@@ -28,10 +28,9 @@ def _tip_masks(aln, P_pad: int) -> np.ndarray:
 
 
 def _make_pars_fn(engine):
-    masks = jnp.asarray(_tip_masks(engine.aln, engine.P))
     n = engine.n_otu
 
-    def pars(child, weights):
+    def pars(masks, child, weights):
         state = jnp.zeros((engine.n_nodes, engine.P), dtype=jnp.int32)
         state = state.at[:n].set(masks)
         steps = jnp.zeros((engine.P,), dtype=jnp.float64)
@@ -61,9 +60,13 @@ def parsimony_score(engine, topo, weights=None) -> int:
     if fn is None:
         fn = _make_pars_fn(engine)
         engine._pars_fn = fn
+    masks = getattr(engine, "_pars_masks", None)
+    if masks is None:
+        masks = jnp.asarray(_tip_masks(engine.aln, engine.P))
+        engine._pars_masks = masks
     rv = topo.rooted()
     child = jnp.asarray(rv.child, dtype=jnp.int32)
     w = engine.weights if weights is None else weights
     # zero out padding columns (their all-ones masks never add steps,
     # but replicate weight vectors may carry nonzero pads)
-    return int(fn(child, w))
+    return int(fn(masks, child, w))

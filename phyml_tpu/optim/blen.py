@@ -35,8 +35,9 @@ _N_NEWTON = 10
 _MAX_BACKTRACK = 15
 
 
-def _make_blen_round(engine):
-    """Build the compiled one-round update for this engine."""
+def _round_core(engine):
+    """The un-jitted one-round update (embedded by both the single-
+    round entry point and the on-device convergence loop)."""
 
     def newton_all_edges(d, sc_d, aux, t0, mask):
         def body(_, t):
@@ -89,7 +90,41 @@ def _make_blen_round(engine):
         lnl_fin = jnp.where(worse, lnl0, lnl_fin)
         return TreeArrays(tree.child, t_fin), lnl_fin
 
-    return jax.jit(round_fn)
+    return round_fn
+
+
+def _make_blen_round(engine):
+    """Jitted single-round update (driver dryrun / callers embedding
+    one round in their own programs)."""
+    return jax.jit(engine.bind_data(_round_core(engine)))
+
+
+def _make_blen_opt(engine, tol: float, max_rounds: int):
+    """Whole optimization as ONE device program: rounds repeat in a
+    lax.while_loop until the gain drops below tol.  A host-side round
+    loop costs one device->host scalar sync per round (~40 ms each on
+    a tunneled TPU — it dominated the optimizer wall-clock 10:1);
+    this runs everything on-device with a single final transfer."""
+    round_fn = _round_core(engine)
+
+    def opt(sys, tree: TreeArrays, weights):
+        lnl0 = engine._loglik_sys(sys, tree, weights)
+        tree1, lnl1 = round_fn(sys, tree, lnl0, weights)
+
+        def cond(c):
+            _, lnl, prev, i = c
+            return (i < max_rounds) & ((lnl - prev) >= tol)
+
+        def body(c):
+            tr, lnl, _, i = c
+            tr2, lnl2 = round_fn(sys, tr, lnl, weights)
+            return tr2, lnl2, lnl, i + 1
+
+        tree_f, lnl_f, _, _ = lax.while_loop(
+            cond, body, (tree1, lnl1, lnl0, jnp.asarray(1)))
+        return tree_f, lnl_f
+
+    return jax.jit(engine.bind_data(opt))
 
 
 def optimize_branch_lengths(
@@ -106,17 +141,14 @@ def optimize_branch_lengths(
     many log units (reference default min_diff_lk_local = 1e-5 with
     per-edge Brent tolerances much looser).
     """
-    fn = getattr(engine, "_blen_round_fn", None)
+    cache = getattr(engine, "_blen_opt_fns", None)
+    if cache is None:
+        cache = engine._blen_opt_fns = {}
+    key = (float(tol), int(max_rounds))
+    fn = cache.get(key)
     if fn is None:
-        fn = _make_blen_round(engine)
-        engine._blen_round_fn = fn
+        fn = cache[key] = _make_blen_opt(engine, tol, max_rounds)
     weights = engine.weights if weights is None else weights
-    sys = engine.system_of(params)
-    lnl = engine.loglik(params, tree, weights)
-    for _ in range(max_rounds):
-        tree, lnl_new = fn(sys, tree, lnl, weights)
-        gain = float(lnl_new) - float(lnl)
-        lnl = lnl_new
-        if gain < tol:
-            break
+    tree, lnl = fn(engine.data(), engine.system_of(params), tree,
+                   weights)
     return tree, float(lnl)

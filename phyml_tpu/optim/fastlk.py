@@ -49,14 +49,16 @@ def fit_normal_approx(engine, params, tree: TreeArrays,
     child = tree.child
     n_nodes = engine.n_nodes
 
-    def f(blen):
-        return engine._loglik(params, TreeArrays(child=child,
-                                                 blen=blen), w)
-
+    # engine data threaded as arguments (bind_data) so the jitted
+    # value/grad/hessian programs carry no multi-MB constants
+    f = engine.bind_data(
+        lambda blen: engine._loglik(params, TreeArrays(child=child,
+                                                       blen=blen), w))
     b0 = tree.blen
-    lnL0 = f(b0)
-    grad = jax.grad(f)(b0)
-    hess = jax.hessian(f)(b0)
+    data = engine.data()
+    lnL0 = jax.jit(f)(data, b0)
+    grad = jax.jit(jax.grad(f, argnums=1))(data, b0)
+    hess = jax.jit(jax.hessian(f, argnums=1))(data, b0)
     mask = jnp.ones(n_nodes, dtype=b0.dtype).at[n_nodes - 1].set(0.0)
     return NormalApprox(b0=b0, lnL0=jnp.asarray(lnL0), grad=grad,
                         hess=hess, mask=mask)

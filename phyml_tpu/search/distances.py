@@ -52,6 +52,40 @@ def _pair_loglik(F, lam, V, Vinv, pi, w, t):
     return jnp.sum(F * jnp.log(jnp.maximum(site, 1e-300)), axis=(1, 2))
 
 
+@jax.jit
+def _grid_start(F, lam, V, Vinv, pi, w, grid):
+    def eval_at(t_scalar):
+        t = jnp.full((F.shape[0],), t_scalar, dtype=F.dtype)
+        return _pair_loglik(F, lam, V, Vinv, pi, w, t)
+
+    lls = jax.lax.map(eval_at, grid)               # [G, n_pairs]
+    return grid[jnp.argmax(lls, axis=0)]
+
+
+@jax.jit
+def _refine(F, lam, V, Vinv, pi, w, t0):
+    """Newton refinement with secant curvature, vectorized over pairs.
+    Module-level jit with F as an ARGUMENT: per-call closures would
+    recompile for every bootstrap replicate and embed F as a program
+    constant (slow dispatch on the tunneled TPU runtime)."""
+    def total(t):
+        return jnp.sum(_pair_loglik(F, lam, V, Vinv, pi, w, t))
+
+    g = jax.grad(total)
+
+    def body(_, t):
+        d1 = g(t)
+        eps = 1e-5
+        d2e = (g(t + eps) - d1) / eps
+        step = d1 / jnp.where(d2e < 0, -d2e, 1.0)
+        tn = jnp.where(d2e < -1e-12, t + step,
+                       jnp.where(d1 > 0, t * 1.5, t / 1.5))
+        tn = jnp.clip(tn, t / 2.0, t * 2.0)
+        return jnp.clip(tn, DIST_MIN, DIST_MAX).astype(t.dtype)
+
+    return jax.lax.fori_loop(0, _NEWTON, body, t0)
+
+
 def ml_pairwise_distances(engine, params, weights=None) -> np.ndarray:
     """Full symmetric [n_otu, n_otu] ML distance matrix."""
     # single unit-rate class (reference disables gamma, lk.c:1817-1824)
@@ -66,37 +100,10 @@ def ml_pairwise_distances(engine, params, weights=None) -> np.ndarray:
     F = _all_pair_counts(tips, weights.astype(engine.dtype))
 
     # grid scan (log-spaced) for a robust start
-    grid = jnp.logspace(np.log10(1e-4), np.log10(DIST_MAX), _GRID)
-
-    def eval_at(t_scalar):
-        t = jnp.full((F.shape[0],), t_scalar, dtype=engine.dtype)
-        return _pair_loglik(F, lam, V, Vinv, pi, w, t)
-
-    lls = jax.lax.map(eval_at, grid)               # [G, n_pairs]
-    t0 = grid[jnp.argmax(lls, axis=0)]
-
-    # Newton refinement, vectorized over pairs via autodiff
-    def total(t):
-        return jnp.sum(_pair_loglik(F, lam, V, Vinv, pi, w, t))
-
-    g = jax.grad(total)
-
-    @jax.jit
-    def refine(t):
-        def body(_, t):
-            # Newton with a secant curvature estimate (avoids a full
-            # Hessian trace; each pair is an independent scalar problem)
-            d1 = g(t)
-            eps = 1e-5
-            d2e = (g(t + eps) - d1) / eps
-            step = d1 / jnp.where(d2e < 0, -d2e, 1.0)
-            tn = jnp.where(d2e < -1e-12, t + step,
-                           jnp.where(d1 > 0, t * 1.5, t / 1.5))
-            tn = jnp.clip(tn, t / 2.0, t * 2.0)
-            return jnp.clip(tn, DIST_MIN, DIST_MAX)
-        return jax.lax.fori_loop(0, _NEWTON, body, t)
-
-    t_hat = np.asarray(refine(t0))
+    grid = jnp.logspace(np.log10(1e-4), np.log10(DIST_MAX), _GRID
+                        ).astype(engine.dtype)
+    t0 = _grid_start(F, lam, V, Vinv, pi, w, grid)
+    t_hat = np.asarray(_refine(F, lam, V, Vinv, pi, w, t0))
     n = engine.n_otu
     D = np.zeros((n, n))
     iu = np.triu_indices(n, k=1)

@@ -168,7 +168,7 @@ def _make_nni_scorer(engine):
         )                                              # [E, 3]
         return lnl, (t1, t2, t3, tc), site
 
-    return jax.jit(scorer)
+    return jax.jit(engine.bind_data(scorer))
 
 
 def nni_scores(engine, params, tree: TreeArrays, cand: np.ndarray,
@@ -183,7 +183,7 @@ def nni_scores(engine, params, tree: TreeArrays, cand: np.ndarray,
         fn = _make_nni_scorer(engine)
         engine._nni_scorer_fn = fn
     weights = engine.weights if weights is None else weights
-    lnl, ts, site = fn(engine.system_of(params), tree,
+    lnl, ts, site = fn(engine.data(), engine.system_of(params), tree,
                        jnp.asarray(cand), weights)
     out = (np.asarray(lnl), tuple(np.asarray(t) for t in ts))
     if return_site:

@@ -120,7 +120,7 @@ def _make_spr_scorer(engine):
         lnl = jnp.where(valid, lnl, -jnp.inf)
         return lnl, t1, t2, tp
 
-    return jax.jit(scorer)
+    return jax.jit(engine.bind_data(scorer))
 
 
 def spr_scores(engine, params, tree: TreeArrays, mask, v, valid,
@@ -133,7 +133,7 @@ def spr_scores(engine, params, tree: TreeArrays, mask, v, valid,
         fn = _make_spr_scorer(engine)
         engine._spr_scorer_fn = fn
     weights = engine.weights if weights is None else weights
-    lnl, t1, t2, tp = fn(engine.system_of(params), tree,
+    lnl, t1, t2, tp = fn(engine.data(), engine.system_of(params), tree,
                          jnp.asarray(mask),
                          jnp.asarray(v, dtype=jnp.int32),
                          jnp.asarray(valid), weights)

@@ -76,9 +76,14 @@ def alrt_supports(
         l0, l1, l2 = (float(x) for x in lnl_cfg[k])
         best_alt = max(l1, l2)
         stat = 2.0 * (l0 - best_alt)
-        if l0 < best_alt - 1e-9:
-            # current config is not the ML config at this edge: the
-            # reference reports support 0 (aLRT assumes NNI-optimal)
+        if l0 < best_alt - 1e-9 and method in ("alrt-stat",
+                                               "alrt-chi2"):
+            # NNI scoring re-optimized the five local branch lengths
+            # (the scorer's joint Newton ≙ alrt.c:338 NNI_Neigh_BL);
+            # if the current config STILL loses, the LRT statistic is
+            # 0 by definition (aLRT assumes NNI-optimality, alrt.c).
+            # aBayes/SH/RELL remain well-defined and are computed
+            # from the actual likelihoods below.
             out[eid] = 0.0
             continue
         if method == "alrt-stat":
@@ -123,6 +128,7 @@ def bootstrap_supports(
     tbe: bool = False,
     verbose: bool = False,
     keep_trees: bool = False,
+    replicate_indices=None,
 ):
     """Bootstrap branch supports for best_topo's internal edges.
 
@@ -135,7 +141,10 @@ def bootstrap_supports(
     main.c:84) so results are independent of farming layout.
     Returns {edge id: support in [0, 1]} (plus the replicate trees if
     keep_trees).
-    """
+
+    replicate_indices (optional): run only this subset of replicate
+    ids; supports are then COUNTS (not divided) over that subset —
+    the distributed farming primitive (parallel.boot)."""
     from phyml_tpu.search.bionj import bionj_start
     from phyml_tpu.search.driver import nni_search, spr_search
 
@@ -144,10 +153,13 @@ def bootstrap_supports(
     counts = {eid: 0.0 for eid in ref_bips.values()}
     n = best_topo.n_otu
     trees = []
+    partial = replicate_indices is not None
+    reps = (range(n_replicates) if replicate_indices is None
+            else list(replicate_indices))
 
     ref_masks = _bip_masks(best_topo, ref_bips, n)
 
-    for rep in range(n_replicates):
+    for rep in reps:
         rng = np.random.default_rng(seed + rep)
         if bayesian:
             site_w = rng.dirichlet(np.ones(aln.n_sites)) * aln.n_sites
@@ -185,6 +197,8 @@ def bootstrap_supports(
             print(f"  bootstrap replicate {rep + 1}/{n_replicates}: "
                   f"lnL {lnl:.3f}")
 
+    if partial:
+        return (counts, trees) if keep_trees else counts
     support = {eid: c / n_replicates for eid, c in counts.items()}
     return (support, trees) if keep_trees else support
 

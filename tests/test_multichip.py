@@ -174,3 +174,40 @@ def test_sharded_pallas_kernel_matches_scan():
     assert eng.pallas_interpret  # CPU: interpret mode
     lnl = float(eng.loglik(params, tree))
     assert lnl == pytest.approx(lnl_ref, abs=5e-3)
+
+
+def test_bootstrap_farming_layout_independent():
+    """Distributed bootstrap contract (mpi_boot.c): per-REPLICATE
+    seeds make the counts identical however replicates are farmed.
+    Simulate 2 processes by running disjoint replicate shards and
+    summing — must equal the serial run exactly."""
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+    from phyml_tpu.parallel.boot import replicate_shard
+    from phyml_tpu.search.support import bootstrap_supports
+
+    aln, model, topo, params = _toy(n_otu=8, n_sites=120, seed=5)
+    eng = LikelihoodEngine(aln, model, dtype=jnp.float64)
+
+    from phyml_tpu.search.driver import nni_search
+    topo, params, _ = nni_search(eng, model, params, topo,
+                                 opt_params=False)
+
+    R = 6
+    serial = bootstrap_supports(eng, model, params, topo,
+                                n_replicates=R, seed=11)
+
+    shard0 = replicate_shard(R, 0, 2)
+    shard1 = replicate_shard(R, 1, 2)
+    assert sorted(shard0 + shard1) == list(range(R))
+    c0 = bootstrap_supports(eng, model, params, topo, n_replicates=R,
+                            seed=11, replicate_indices=shard0)
+    c1 = bootstrap_supports(eng, model, params, topo, n_replicates=R,
+                            seed=11, replicate_indices=shard1)
+    merged = {e: (c0[e] + c1[e]) / R for e in c0}
+    assert merged == serial
+
+
+def test_sum_across_processes_single():
+    from phyml_tpu.parallel.boot import _sum_across_processes
+    x = np.array([1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(_sum_across_processes(x), x)

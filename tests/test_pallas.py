@@ -37,7 +37,7 @@ def test_pallas_matches_scan_nucleic(nucleic, name, n_classes):
     ta = tree_arrays(topo.rooted(), dtype=jnp.float32)
 
     scan, fused = _engines(nucleic, model)
-    a = np.asarray(scan._jit_site_logliks(params, ta))
+    a = np.asarray(scan.site_logliks(params, ta))
     b = np.asarray(fused._site_loglik_fused(params, ta,
                                             interpret=True))
     k = nucleic.n_patterns
@@ -58,7 +58,7 @@ def test_pallas_matches_scan_deep_tree(nucleic):
     ta = tree_arrays(topo.rooted(), dtype=jnp.float32)
 
     scan, fused = _engines(nucleic, model)
-    a = np.asarray(scan._jit_site_logliks(params, ta))
+    a = np.asarray(scan.site_logliks(params, ta))
     b = np.asarray(fused._site_loglik_fused(params, ta,
                                             interpret=True))
     k = nucleic.n_patterns
@@ -91,7 +91,7 @@ def test_pallas_absolute_accuracy_vs_float64():
     eng64 = LikelihoodEngine(aln, model, dtype=jnp.float64,
                              use_pallas=False)
     ta64 = tree_arrays(topo.rooted(), dtype=jnp.float64)
-    truth = np.asarray(eng64._jit_site_logliks(params, ta64))[:k]
+    truth = np.asarray(eng64.site_logliks(params, ta64))[:k]
 
     fused = LikelihoodEngine(aln, model, dtype=jnp.float32,
                              use_pallas=True)
