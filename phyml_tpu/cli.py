@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "from --n_rand_starts of them and the best "
                         "final tree is kept (main.c:126-139)")
     p.add_argument("--n_rand_starts", type=int, default=5)
+    p.add_argument("--pars_start", action="store_true",
+                   help="stepwise-addition parsimony starting tree "
+                        "(Stepwise_Add_Pars pars.c:948) instead of "
+                        "BioNJ")
     p.add_argument("--constraint_file", default=None,
                    help="multifurcating constraint tree; the search "
                         "starts from a random binary resolution and "
@@ -332,6 +336,10 @@ def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
     elif args.rand_start:
         topo = Topology.random(aln.n_otu, rng)
         start_desc = "random"
+    elif args.pars_start:
+        from phyml_tpu.search.stepwise import stepwise_addition_tree
+        topo = stepwise_addition_tree(aln, rng)
+        start_desc = "stepwise-addition parsimony"
     else:
         topo = bionj_start(engine, params)
         start_desc = "BioNJ"

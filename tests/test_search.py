@@ -110,3 +110,31 @@ def test_spr_search_reaches_reference_lnl(nucleic):
     topo = bionj_start(eng, p)
     topo, p, lnl = spr_search(eng, m, p, topo)
     assert lnl >= GOLDEN_EF - 0.01
+
+
+def test_stepwise_addition_parsimony_tree(nucleic):
+    """Stepwise addition (Stepwise_Add_Pars pars.c:948): valid
+    topology whose parsimony score beats random trees and approaches
+    the reference ML tree's score (golden A: 847 steps)."""
+    import jax.numpy as jnp
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+    from phyml_tpu.ops.parsimony import parsimony_score
+    from phyml_tpu.search.stepwise import stepwise_addition_tree
+    from phyml_tpu.topology import Topology
+
+    rng = np.random.default_rng(8)
+    topo = stepwise_addition_tree(nucleic, rng)
+    topo.validate()
+    assert sorted(
+        int(x) for e in topo.edges for x in e if x < nucleic.n_otu
+    ) == list(range(nucleic.n_otu))
+
+    model = SubstModel(datatype="nt", name="JC69", n_classes=1)
+    eng = LikelihoodEngine(nucleic, model, dtype=jnp.float64)
+    p_sw = parsimony_score(eng, topo)
+    p_rand = parsimony_score(
+        eng, Topology.random(nucleic.n_otu, rng))
+    assert p_sw < p_rand
+    # golden ML tree scores 847; greedy addition should land close
+    assert p_sw < 1000
