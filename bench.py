@@ -31,9 +31,16 @@ import time
 import numpy as np
 
 # persistent XLA compile cache: the bench compiles several large
-# programs (CLV kernel, branch-length Newton); caching cuts repeat
-# wall-clock from ~9 min to ~2 min
+# programs (CLV kernel, branch-length Newton); the remote compile
+# service takes minutes per program, and the default cache thresholds
+# skip writing entirely on this backend — zero them explicitly
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 N_TAXA = 128
 N_SITES = 4096

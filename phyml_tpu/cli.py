@@ -207,18 +207,31 @@ def _init_params(args, model, aln):
     return params
 
 
-def run_analysis(args) -> int:
+def _enable_compile_cache():
+    """Persistent XLA compile cache: on the tunneled TPU the remote
+    compile service takes minutes per program, and the default cache
+    thresholds silently skip writing (measured: a 20-taxon likelihood
+    program compiles in 252 s cold, 1 s from cache).  Zeroing the
+    thresholds makes every executable cacheable."""
     import os
 
-    # persistent XLA compile cache: without it a cold CLI run spends
-    # minutes compiling the scan programs (bench.py already sets this;
-    # round-2 review measured ~9 min cold vs ~2 min warm)
-    os.environ.setdefault(
+    import jax
+
+    cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache",
                      "phyml_tpu_xla"),
     )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def run_analysis(args) -> int:
     import jax
+
+    _enable_compile_cache()
 
     if args.platform:
         # config API, not the JAX_PLATFORMS env var: the installed TPU
@@ -552,6 +565,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.xml:
         from phyml_tpu.io.xmlcfg import run_xml
+        _enable_compile_cache()
         return run_xml(args.xml, quiet=args.quiet)
     return run_analysis(args)
 

@@ -100,9 +100,48 @@ def _set(params, name, idx, value):
     return p
 
 
+def _batched_loglik(engine):
+    """Jitted lnL over a BATCH of params pytrees (leaves stacked on
+    axis 0) — one device call scores a whole grid of candidate values
+    for a scalar parameter.  Replaces serial Brent evaluations, each
+    of which paid a full device->host sync (~40 ms on the tunneled
+    TPU: a 25-eval Brent cost ~1 s of pure sync per parameter)."""
+    import jax
+
+    fn = getattr(engine, "_batched_loglik_fn", None)
+    if fn is None:
+        def eval_many(tree, weights, params_batch):
+            return jax.vmap(
+                lambda p: engine._loglik(p, tree, weights)
+            )(params_batch)
+
+        fn = jax.jit(engine.bind_data(eval_many))
+        engine._batched_loglik_fn = fn
+    return fn
+
+
+def _stack_params(variants):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *variants)
+
+
 def optimize_scalars(engine, model, params, tree, lnl0=None,
-                     brent_tol: float = 1e-3, weights=None):
-    """One pass of per-parameter Brent searches; returns (params, lnL)."""
+                     brent_tol: float = 1e-3, weights=None,
+                     grid: int = 16, zooms: int = 3):
+    """One pass of per-parameter line searches; returns (params, lnL).
+
+    Each slot is maximized by batched grid-and-zoom: `grid` candidate
+    values are scored in ONE vmapped device call (batched
+    eigensystems + likelihoods), the bracket shrinks around the best
+    point, repeated `zooms` times.  Resolution after z zooms is
+    (hi-lo)/(grid/2)^z — finer than the reference's Brent tolerance
+    for the default settings — at 3 device round-trips per parameter
+    instead of ~25 (Generic_Brent_Lk optimiz.c:2475 is the serial
+    equivalent)."""
+    fn = _batched_loglik(engine)
+    weights_v = engine.weights if weights is None else weights
     lnl = float(engine.loglik(params, tree, weights)) \
         if lnl0 is None else lnl0
     for name, idx, tf, lo, hi in free_scalar_slots(model, params):
@@ -115,14 +154,28 @@ def optimize_scalars(engine, model, params, tree, lnl0=None,
         else:
             x0 = cur
 
-        def f(x, _name=name, _idx=idx, _tf=tf):
-            return float(engine.loglik(_set(params, _name, _idx, _tf(x)),
-                                       tree, weights))
-
-        x, fx = brent_maximize(f, lo, hi, tol=brent_tol, x0=x0)
-        if fx > lnl:
-            params = _set(params, name, idx, tf(x))
-            lnl = fx
+        a, b = lo, hi
+        best_x, best_f = x0, lnl
+        for _ in range(zooms):
+            xs = list(np.linspace(a, b, grid))
+            xs.append(best_x)       # current best is always a candidate
+            batch = _stack_params(
+                [_set(params, name, idx, tf(x)) for x in xs])
+            vals = np.asarray(fn(engine.data(), tree, weights_v,
+                                 batch))
+            k = int(np.nanargmax(vals))
+            if vals[k] > best_f:
+                best_f = float(vals[k])
+                best_x = xs[k]
+            # shrink the bracket to +-1 grid cell around the best
+            step = (b - a) / (grid - 1)
+            a = max(lo, best_x - step)
+            b = min(hi, best_x + step)
+            if step < brent_tol:
+                break
+        if best_f > lnl:
+            params = _set(params, name, idx, tf(best_x))
+            lnl = best_f
     return params, lnl
 
 
