@@ -643,19 +643,37 @@ class MCMC:
         return st._replace(lnL=lnL, lp=self._log_prior(st))
 
     def run(self, state: ChainState | None = None, trace_fh=None,
-            verbose=False):
+            verbose=False, checkpoint_path: str | None = None,
+            checkpoint_every_s: float = 300.0):
         """Run the chain; returns (final state, trace [T, 5],
         acceptance-rate vector).  Trace columns: posterior, lnL,
         root height, log clock, log nu (≙ the phytime trace file,
-        mcmc.c:2588 MCMC_Print_Param)."""
+        mcmc.c:2588 MCMC_Print_Param).
+
+        checkpoint_path: persist (state, iteration, tuned steps, PRNG
+        key) atomically every checkpoint_every_s seconds and resume
+        from it when it exists (green-field: the reference's
+        checkpoint.c is an empty stub)."""
         s = self.s
         st = state if state is not None else self.init_state()
         steps = jnp.asarray(self.step)
         done = 0
         traces = []
+        ck_last = [__import__("time").monotonic()]
+        resumed_key = None
+        if checkpoint_path is not None:
+            from phyml_tpu.utils.checkpoint import load_chain, save_chain
+            hit = load_chain(checkpoint_path, ChainState)
+            if hit is not None:
+                st, done, self.step, resumed_key = hit
+                steps = jnp.asarray(self.step)
+                if verbose:
+                    print(f"  mcmc resumed at iteration {done}")
         tot_tries = np.zeros(len(self.MOVE_NAMES), dtype=np.int64)
         tot_accs = np.zeros(len(self.MOVE_NAMES), dtype=np.int64)
-        key = jax.random.PRNGKey(s.seed)
+        key = (jnp.asarray(resumed_key, dtype=jnp.uint32)
+               if resumed_key is not None
+               else jax.random.PRNGKey(s.seed))
         if trace_fh is not None:
             trace_fh.write("iter\tposterior\tlnL\troot_height\t"
                            "clock\tnu\n")
@@ -689,6 +707,13 @@ class MCMC:
                         f"{tr[j,2]:.6f}\t{np.exp(tr[j,3]):.6g}\t"
                         f"{np.exp(tr[j,4]):.6g}\n")
             done += n
+            if checkpoint_path is not None:
+                import time as _time
+                if (_time.monotonic() - ck_last[0]
+                        >= checkpoint_every_s) or done >= s.n_iter:
+                    save_chain(checkpoint_path, st, done, self.step,
+                               key=np.asarray(key))
+                    ck_last[0] = _time.monotonic()
             if done <= s.burnin:
                 # host-side tuning (≙ MCMC_Adjust_Tuning_Parameter)
                 rate = accs / np.maximum(tries, 1)

@@ -9,9 +9,10 @@ a <partitionelem> assembling mixture classes via <mixtureelem> lists
 construction the reference builds in mixt.c — here a mixture is just
 the class axis of one engine).
 
-Current scope: one partition element (the shipped lg4x example's
-shape); multiple partitions are joined as independent likelihood
-factors sharing one topology.
+Multiple <partitionelem> blocks run as a shared-topology partitioned
+analysis (search/partitioned.py); <phytime> and <phyrex> roots
+dispatch to the Bayesian tier (_run_xml_bayes), executing the
+reference's shipped dating_example.xml and flu.xml end-to-end.
 """
 
 from __future__ import annotations

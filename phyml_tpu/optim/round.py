@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from phyml_tpu.optim.blen import optimize_branch_lengths
-from phyml_tpu.optim.brent import brent_maximize
 
 
 def _logit(p):

@@ -69,3 +69,56 @@ class Checkpointer:
         if "extra" in z.files:
             return json.loads(str(z["extra"]))
         return {}
+
+
+# ----------------------------------------------------------------------
+# MCMC chain checkpointing (green-field; the reference has none)
+# ----------------------------------------------------------------------
+
+def save_chain(path: str, state, done: int, step_sizes,
+               key=None) -> None:
+    """Atomically persist an MCMC ChainState + progress so a killed
+    chain resumes mid-run: all state arrays (incl. the sampled
+    topology), iteration count, tuned step sizes, and the PRNG key."""
+    payload = {"done": np.asarray(done),
+               "step_sizes": np.asarray(step_sizes)}
+    if key is not None:
+        payload["key"] = np.asarray(key)
+    for field_name, v in state._asdict().items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                payload[f"dict_{field_name}__{k2}"] = np.asarray(v2)
+            payload[f"dictkeys_{field_name}"] = np.asarray(
+                ",".join(v.keys()))
+        else:
+            payload[f"field_{field_name}"] = np.asarray(v)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **payload)
+    os.replace(tmp, path)
+
+
+def load_chain(path: str, state_cls):
+    """(state, done, step_sizes, key|None) or None if absent."""
+    if not os.path.exists(path):
+        return None
+    import jax.numpy as jnp
+
+    z = np.load(path, allow_pickle=False)
+    fields = {}
+    for name in state_cls._fields:
+        fk = f"field_{name}"
+        dk = f"dictkeys_{name}"
+        if fk in z.files:
+            fields[name] = jnp.asarray(z[fk])
+        elif dk in z.files:
+            keys = str(z[dk]) and str(z[dk]).split(",")
+            keys = [k for k in keys if k]
+            fields[name] = {
+                k: jnp.asarray(z[f"dict_{name}__{k}"]) for k in keys
+            }
+        else:
+            fields[name] = {}
+    key = jnp.asarray(z["key"]) if "key" in z.files else None
+    return (state_cls(**fields), int(z["done"]),
+            np.asarray(z["step_sizes"]), key)

@@ -529,3 +529,43 @@ def test_read_coordinates_substring_match():
         assert xy[1][1] == pytest.approx(32.31)
     finally:
         os.unlink(p)
+
+
+def test_mcmc_checkpoint_resume(tmp_path):
+    """A chain killed mid-run resumes from its checkpoint: state,
+    iteration count, tuned steps, and PRNG key survive (green-field;
+    reference checkpoint.c is an empty stub)."""
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.mcmc import MCMC, MCMCSettings
+    from phyml_tpu.bayes.rates import RateModel
+    from phyml_tpu.bayes.times import TimePrior
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+
+    rng = np.random.default_rng(17)
+    tt = TimeTree.coalescent(5, rng, theta=0.5)
+    aln = _sim_alignment(tt, rng, n_sites=100)
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    engine = LikelihoodEngine(aln, model)
+    params = model.init_params(aln.obs_state_freqs)
+
+    def make(n_iter):
+        return MCMC(engine, model, params, tt,
+                    RateModel(kind="strict"),
+                    TimePrior(kind="coalescent"),
+                    MCMCSettings(n_iter=n_iter, burnin=50, batch=50,
+                                 seed=5))
+
+    ck = str(tmp_path / "chain.npz")
+    # run 100 iterations and checkpoint at the end
+    m1 = make(100)
+    st1, _, _ = m1.run(checkpoint_path=ck, checkpoint_every_s=0.0)
+    assert (tmp_path / "chain.npz").exists()
+
+    # "restart" with a longer target: resumes at 100, runs to 200
+    m2 = make(200)
+    st2, trace2, _ = m2.run(checkpoint_path=ck,
+                            checkpoint_every_s=0.0)
+    assert trace2.shape[0] == 100          # only the remaining 100
+    lnL_re = float(m2._lnL(st2))
+    assert float(st2.lnL) == pytest.approx(lnL_re, abs=1e-6)
