@@ -69,6 +69,27 @@ class TimeTree:
         dt[self.root] = 0.0
         return dt
 
+    def to_topology(self):
+        """Unrooted Topology with branch lengths = edge durations
+        (the root node is suppressed; its two child edges merge)."""
+        from phyml_tpu.topology import Topology
+
+        n = self.n_otu
+        par = self.parent
+        dt = self.edge_durations()
+        edges, blen = [], []
+        for u in range(self.n_nodes - 1):
+            if par[u] == self.root:
+                continue
+            edges.append((u, int(par[u])))
+            blen.append(dt[u])
+        r0, r1 = (int(x) for x in self.child[-1])
+        edges.append((r0, r1))
+        blen.append(dt[r0] + dt[r1])
+        topo = Topology(n, np.asarray(edges), np.asarray(blen))
+        topo.validate()
+        return topo
+
     def blen_from_times(self, clock_rate: float,
                         rates: np.ndarray | None = None) -> np.ndarray:
         """Substitution branch lengths l = clock_r * rate * dt

@@ -106,6 +106,13 @@ def yule_order_root_cond(heights, n_otu: int, birth, lo, hi):
     hi_j = jnp.minimum(hi[n_otu:root], heights[root])
     b = jnp.maximum(birth, 1e-10)
     inside = jnp.all((h >= lo_j - 1e-12) & (h <= hi_j + 1e-12))
+    # the root's own calibration window (lo/hi[root]) must be
+    # enforced too — it is not part of the root-conditioned order
+    # statistics above, and a root calibration is the common case
+    # (a bug exposed by the lnL-invariant tree/clock swap move, which
+    # freely rescales absolute time unless the prior pins it)
+    inside = inside & (heights[root] >= lo[root] - 1e-12) \
+        & (heights[root] <= hi[root] + 1e-12)
     # log(e^{-b lo} - e^{-b hi}) = -b lo + log1p(-e^{-b (hi - lo)})
     span = jnp.maximum(hi_j - lo_j, 1e-300)
     log_norm = -b * lo_j + jnp.log(-jnp.expm1(-b * span))

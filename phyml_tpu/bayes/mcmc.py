@@ -74,6 +74,7 @@ class MCMC:
         "height_slide", "root_scale", "tree_scale", "clock_scale",
         "rate_walk", "nu_scale", "hyper_scale", "subst_kappa",
         "subst_alpha", "rates_clock_swap", "trait_s2", "trait_scaler",
+        "tree_clock_swap", "subtree_scale",
     ]
 
     def __init__(self, engine, model, subst_params, time_tree,
@@ -156,6 +157,8 @@ class MCMC:
             0.3,   # rates_clock_swap
             0.5,   # trait_s2
             0.5,   # trait_scaler
+            0.2,   # tree_clock_swap
+            0.3,   # subtree_scale
         ])
         has_tr = trait_x is not None
         w = np.array([
@@ -167,6 +170,8 @@ class MCMC:
             2.0 if has_tr else 0.0,
             (1.5 * (2 * n - 2)) if has_tr and trait_kind == "rrw"
             else 0.0,
+            2.0,                    # tree_clock_swap (lnL-invariant)
+            1.0 * max(n - 3, 0),    # subtree_scale
         ])
         if "kappa" not in subst_params:
             w[7] = 0.0
@@ -377,6 +382,44 @@ class MCMC:
         return (st._replace(trait_lr=st.trait_lr.at[u].add(d)),
                 0.0, False)
 
+    def _mv_tree_clock_swap(self, st, key, step):
+        """Scale ALL internal heights by m and the clock by 1/m:
+        branch lengths (and lnL) are invariant, the (times, rate)
+        decomposition moves (≙ MCMC_Updown_T_Cr mcmc.c).  Hastings:
+        (n-1) log m from the height scaling, 0 from the clock
+        translation in log space."""
+        m = jnp.exp(step * (jax.random.uniform(key, ()) - 0.5))
+        h = st.heights.at[self.n_otu:].multiply(m)
+        log_h = (self.n_otu - 1) * jnp.log(m)
+        return (st._replace(heights=h,
+                            log_clock=st.log_clock - jnp.log(m)),
+                log_h, False)
+
+    def _mv_subtree_scale(self, st, key, step):
+        """Scale the internal heights STRICTLY below a random internal
+        non-root node u by m (≙ the reference's subtree-height moves);
+        infeasible proposals (child older than parent) die in the
+        prior's feasibility check."""
+        k1, k2 = jax.random.split(key)
+        n = self.n_otu
+        u = jax.random.randint(k1, (), n, self.root)   # internal, non-root
+        # descendant mask via a reverse sweep over the postorder table
+        def body(j, mask):
+            i = self.n_otu - 2 - j                     # high -> low
+            node = n + i
+            on = mask[node]
+            c0 = st.child[i, 0]
+            c1 = st.child[i, 1]
+            return mask.at[c0].set(mask[c0] | on)                        .at[c1].set(mask[c1] | on)
+        mask = jnp.zeros(self.n_nodes, dtype=bool).at[u].set(True)
+        mask = lax.fori_loop(0, self.n_otu - 1, body, mask)
+        scaled = mask.at[u].set(False)                 # strict subtree
+        scaled = scaled & (jnp.arange(self.n_nodes) >= n)  # internal
+        m = jnp.exp(step * (jax.random.uniform(k2, ()) - 0.5))
+        h = jnp.where(scaled, st.heights * m, st.heights)
+        log_hast = jnp.sum(scaled) * jnp.log(m)
+        return st._replace(heights=h), log_hast, True
+
     # ------------------------------------------------------------------
     def _step(self, st: ChainState, key, steps):
         kmv, kprop, kacc = jax.random.split(key, 3)
@@ -392,6 +435,8 @@ class MCMC:
             self._mv_rates_clock_swap,
             self._mv_trait_s2,
             self._mv_trait_scaler,
+            self._mv_tree_clock_swap,
+            self._mv_subtree_scale,
         ]
 
         def branch(fn, i):

@@ -86,3 +86,96 @@ def write_phylip(path: str, names, seqs) -> None:
         fh.write(f" {len(names)} {len(seqs[0])}\n")
         for nm, sq in zip(names, seqs):
             fh.write(f"{nm:<10s}  {sq}\n")
+
+
+def main(argv=None) -> int:
+    """CLI matching the reference's `evolve` binary surface
+    (EVOLVE_Main evolve.c:16): simulate sequences along a user tree
+    (-u) or a simulated coalescent tree (EVOLVE_Coalescent
+    evolve.c:1070, --coalescent N), writing <prefix>.phy and the
+    true tree <prefix>_true_tree.txt."""
+    import argparse
+
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.topology import Topology
+
+    p = argparse.ArgumentParser(
+        prog="phyml-tpu-evolve",
+        description="simulate alignments along trees "
+                    "(reference: the evolve binary)")
+    p.add_argument("-u", "--user_tree", default=None,
+                   help="newick tree to simulate along")
+    p.add_argument("--coalescent", type=int, default=None,
+                   metavar="N_TAXA",
+                   help="simulate an N-taxon coalescent tree instead")
+    p.add_argument("--theta", type=float, default=1.0,
+                   help="coalescent population size parameter")
+    p.add_argument("-m", "--model", default="HKY85")
+    p.add_argument("-d", "--datatype", choices=["nt", "aa"],
+                   default="nt")
+    p.add_argument("-l", "--n_sites", type=int, default=1000)
+    p.add_argument("-c", "--n_classes", type=int, default=4)
+    p.add_argument("-a", "--alpha", type=float, default=1.0)
+    p.add_argument("-t", "--ts_tv", type=float, default=4.0)
+    p.add_argument("-f", "--frequencies", default=None,
+                   help="'fA,fC,fG,fT' (default: uniform)")
+    p.add_argument("--r_seed", type=int, default=None)
+    p.add_argument("-o", "--output", default="evolve_out",
+                   help="output prefix")
+    args = p.parse_args(argv)
+
+    import time as _time
+    seed = args.r_seed if args.r_seed is not None else \
+        int(_time.time()) % (2 ** 31)
+    rng = np.random.default_rng(seed)
+
+    if args.user_tree:
+        from phyml_tpu.io.newick import leaf_names, parse_newick
+        text = open(args.user_tree).read()
+        names = leaf_names(parse_newick(text))
+        topo = Topology.from_newick(text, names)
+    elif args.coalescent:
+        from phyml_tpu.bayes.chrono import TimeTree
+        tt = TimeTree.coalescent(args.coalescent, rng,
+                                 theta=args.theta)
+        names = [f"t{i}" for i in range(args.coalescent)]
+        tt.names = names
+        topo = tt.to_topology()
+    else:
+        p.error("need -u TREE or --coalescent N")
+
+    ns = 4 if args.datatype == "nt" else 20
+    if args.frequencies:
+        fixed = np.asarray([float(x)
+                            for x in args.frequencies.split(",")])
+    else:
+        # simulation has no data to take empirical freqs from;
+        # default to uniform (reference: Print_Settings shows the
+        # model's default freqs, uniform for simulated runs)
+        fixed = np.full(ns, 1.0 / ns)
+    model = SubstModel(
+        datatype=args.datatype, name=args.model,
+        n_classes=args.n_classes,
+        freqs_mode="fixed", fixed_freqs=fixed)
+    params = model.init_params()
+    import jax.numpy as jnp
+    if "kappa" in params:
+        params["kappa"] = jnp.asarray(args.ts_tv)
+    if "alpha" in params:
+        params["alpha"] = jnp.asarray(args.alpha)
+
+    _, seqs = simulate_alignment(topo, model, params, args.n_sites,
+                                 rng)
+    write_phylip(f"{args.output}.phy", names, seqs)
+    with open(f"{args.output}_true_tree.txt", "w") as fh:
+        fh.write(topo.to_newick(names) + "\n")
+    print(f". Simulated {len(names)} x {args.n_sites} "
+          f"({args.model}) with seed {seed}.")
+    print(f". Alignment: {args.output}.phy")
+    print(f". True tree: {args.output}_true_tree.txt")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

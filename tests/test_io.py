@@ -127,3 +127,28 @@ def test_site_weights_resample():
     aln = compact(enc, ["a", "b"], "nt")
     w = aln.resample_weights(rng)
     assert w.sum() == aln.n_sites
+
+
+def test_evolve_cli(tmp_path, monkeypatch):
+    """The evolve CLI (reference: the evolve binary, EVOLVE_Main
+    evolve.c:16) simulates a coalescent tree + alignment and can
+    re-simulate along the written tree."""
+    from phyml_tpu.evolve import main
+    from phyml_tpu.io.alignment import read_alignment
+    from phyml_tpu.topology import Topology
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--coalescent", "8", "--theta", "0.5", "-l", "120",
+               "-m", "HKY85", "-o", "sim", "--r_seed", "7"])
+    assert rc == 0
+    aln = read_alignment(str(tmp_path / "sim.phy"), datatype="nt")
+    assert aln.n_otu == 8 and aln.n_sites == 120
+    topo = Topology.from_newick(
+        (tmp_path / "sim_true_tree.txt").read_text(), aln.names)
+    topo.validate()
+
+    rc = main(["-u", "sim_true_tree.txt", "-l", "60", "-m", "JC69",
+               "-o", "sim2", "--r_seed", "8"])
+    assert rc == 0
+    aln2 = read_alignment(str(tmp_path / "sim2.phy"), datatype="nt")
+    assert aln2.n_sites == 60

@@ -102,3 +102,24 @@ def test_pallas_absolute_accuracy_vs_float64():
     np.testing.assert_allclose(got, truth, atol=2e-3)
     w = np.asarray(fused.weights)[:k]
     assert abs(float(np.sum((got - truth) * w))) < 0.5
+
+
+def test_pallas_matches_scan_proteic(proteic):
+    """20-state (LG) kernel path: the dot_general branch of the
+    kernel's matvec (ns > 8), parity vs the scan path."""
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.topology import Topology
+
+    model = SubstModel(datatype="aa", name="LG", n_classes=2)
+    params = model.init_params(proteic.obs_state_freqs)
+    rng = np.random.default_rng(5)
+    topo = Topology.random(proteic.n_otu, rng, mean_blen=0.1)
+    ta = tree_arrays(topo.rooted(), dtype=jnp.float32)
+
+    scan, fused = _engines(proteic, model)
+    a = np.asarray(scan.site_logliks(params, ta))
+    b = np.asarray(fused._site_loglik_fused(params, ta,
+                                            interpret=True))
+    k = proteic.n_patterns
+    np.testing.assert_allclose(a[:k], b[:k], atol=2e-3)
