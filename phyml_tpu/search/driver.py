@@ -90,6 +90,7 @@ def spr_search(
     Returns (topo, params, lnL)."""
     rng = np.random.default_rng(seed)
     lnl = -np.inf
+    fine_done = False
     for outer in range(max_outer):
         topo, lnl_spr, n_moves = spr_round(
             engine, params, topo, rng=rng, weights=weights,
@@ -109,6 +110,23 @@ def spr_search(
         if verbose:
             print(f"  params: lnL {lnl_new:.5f}")
         if n_moves == 0 and lnl_new - lnl < tol:
+            if not fine_done:
+                # one serial fine sweep at convergence: the block-
+                # greedy rounds can settle in a slightly different
+                # basin than one-move-at-a-time application (the
+                # reference's semantics, spr.c:1380); a single
+                # batch_k=1 sweep recovers it
+                fine_done = True
+                topo, lnl_fine, n_fine = spr_round(
+                    engine, params, topo, rng=rng, weights=weights,
+                    accept_topo=accept_topo, batch_k=1,
+                )
+                if verbose:
+                    print(f"  spr fine: lnL {lnl_fine:.5f} "
+                          f"({n_fine} moves)")
+                if n_fine:
+                    lnl = lnl_fine
+                    continue
             lnl = max(lnl, lnl_new)
             break
         lnl = lnl_new

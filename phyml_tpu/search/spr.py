@@ -41,7 +41,7 @@ _N_NEWTON = 12
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _make_spr_scorer(engine):
+def _spr_scorer_core(engine):
     def newton_1d(d, sc_d, aux, t, iters):
         def body(_, t):
             _, d1, d2 = engine.edge_lnl_terms(d, sc_d, aux, t)
@@ -120,7 +120,39 @@ def _make_spr_scorer(engine):
         lnl = jnp.where(valid, lnl, -jnp.inf)
         return lnl, t1, t2, tp
 
-    return jax.jit(engine.bind_data(scorer))
+    return scorer
+
+
+def _make_spr_scorer(engine):
+    return jax.jit(engine.bind_data(_spr_scorer_core(engine)))
+
+
+def _make_spr_scorer_batched(engine):
+    """All of a BLOCK of prune candidates scored in one dispatch:
+    vmap over (mask, v, valid).  On a remote-attached TPU each
+    dispatch pays a ~40 ms host sync, so per-candidate scoring
+    dominated the SPR sweep wall-clock ~10:1."""
+    core = _spr_scorer_core(engine)
+    batched = jax.vmap(core, in_axes=(None, None, 0, 0, 0, None))
+    return jax.jit(engine.bind_data(batched))
+
+
+def spr_scores_batched(engine, params, tree: TreeArrays, masks, vs,
+                       valids, weights=None):
+    """Per (candidate k, target edge e): exact regraft lnL with the
+    triple lengths optimized.  masks [K, n_int, 2]; vs [K];
+    valids [K, n_nodes].  Returns (lnl [K, N], t1, t2, tp [K, N])."""
+    fn = getattr(engine, "_spr_scorer_batched_fn", None)
+    if fn is None:
+        fn = _make_spr_scorer_batched(engine)
+        engine._spr_scorer_batched_fn = fn
+    weights = engine.weights if weights is None else weights
+    lnl, t1, t2, tp = fn(engine.data(), engine.system_of(params), tree,
+                         jnp.asarray(masks),
+                         jnp.asarray(vs, dtype=jnp.int32),
+                         jnp.asarray(valids), weights)
+    return (np.asarray(lnl), np.asarray(t1), np.asarray(t2),
+            np.asarray(tp))
 
 
 def spr_scores(engine, params, tree: TreeArrays, mask, v, valid,
@@ -218,6 +250,41 @@ def apply_spr(topo, rv, v: int, target: int, t1: float, t2: float,
     return new
 
 
+def _batched_tree_loglik(engine):
+    """lnL of a stacked batch of TreeArrays in one dispatch."""
+    fn = getattr(engine, "_batched_tree_loglik_fn", None)
+    if fn is None:
+        def eval_trees(sys, trees, weights):
+            return jax.vmap(
+                lambda t: engine._loglik_sys(sys, t, weights)
+            )(trees)
+
+        fn = jax.jit(engine.bind_data(eval_trees))
+        engine._batched_tree_loglik_fn = fn
+    return fn
+
+
+def _move_footprint(topo, rv, v: int, target: int):
+    """(edge ids, unrooted node ids) a v->target regraft edits: the
+    prune edge, the two heal edges at the link, and the split target
+    edge, plus their endpoints.  Two moves with disjoint footprints
+    commute on the edge list (each edits only its own entries)."""
+    uid = rv.unrooted_id
+    u = int(rv.parent[v])
+    link = int(uid[u])
+    prune_edge = int(rv.node_to_edge[v])
+    regraft_edge = int(rv.node_to_edge[target])
+    edges = {prune_edge, regraft_edge}
+    nodes = {link, int(uid[v])}
+    for eid, (a, b) in enumerate(topo.edges):
+        if eid != prune_edge and (int(a) == link or int(b) == link):
+            edges.add(eid)
+            nodes.update((int(a), int(b)))
+    p, q = (int(x) for x in topo.edges[regraft_edge])
+    nodes.update((p, q))
+    return edges, nodes
+
+
 def spr_round(
     engine,
     params,
@@ -226,56 +293,128 @@ def spr_round(
     rng: np.random.Generator | None = None,
     weights=None,
     accept_topo=None,
+    batch_k: int | None = None,
+    max_apply: int | None = None,
 ):
-    """One SPR sweep: every prunable subtree in random order, best
-    regraft applied immediately when it beats the current tree by
-    min_gain.  Returns (topo, lnL, n_applied).
+    """One SPR sweep: prunable subtrees in random order, scored in
+    BLOCKS of batch_k per device dispatch (vmapped masked passes);
+    each block's improving moves are applied greedily when their
+    footprints are disjoint, guarded by a joint re-evaluation with
+    single-best fallback (the reference applies one move at a time,
+    spr.c:1380 Try_One_Spr_Move_Triple; blocking amortizes the
+    per-dispatch host sync).  Returns (topo, lnL, n_applied).
 
-    accept_topo (optional): predicate on the post-move Topology;
-    regraft targets producing a rejected topology are skipped in
-    favor of the next-best one (constraint search)."""
+    accept_topo (optional): predicate on the post-move Topology
+    (constraint search)."""
     rng = rng or np.random.default_rng(0)
     n_applied = 0
     rv = topo.rooted()
     ta = tree_arrays(rv, dtype=engine.dtype)
     lnl_cur = float(engine.loglik(params, ta, weights))
-    order = rng.permutation(prune_candidates(rv))
-    for v in order:
-        v = int(v)
-        # the rooted view changes after each applied move; rebuild
-        if rv is None:
-            rv = topo.rooted()
-            ta = tree_arrays(rv, dtype=engine.dtype)
-            cands = set(prune_candidates(rv))
-            if v not in cands:
-                continue
-        if int(rv.parent[v]) == rv.n_nodes - 1:
+    if batch_k is None:
+        per_cand = engine.n_nodes * engine.C * engine.ns * \
+            engine.P * 4 * 8
+        batch_k = int(max(1, min(16, (512 << 20) // max(per_cand, 1))))
+    order = [int(x) for x in rng.permutation(prune_candidates(rv))]
+    pos = 0
+    while pos < len(order):
+        cands_now = set(prune_candidates(rv))
+        block = []
+        while pos < len(order) and len(block) < batch_k:
+            v = order[pos]
+            pos += 1
+            if v in cands_now and int(rv.parent[v]) != rv.n_nodes - 1:
+                block.append(v)
+        if not block:
             continue
-        mask, valid = spr_move_arrays(rv, v)
-        lnl_t, t1, t2, tp = spr_scores(engine, params, ta, mask, v,
-                                       valid, weights=weights)
-        u = int(rv.parent[v])
-        s_row = rv.child[u - rv.n_otu]
-        sib = int(s_row[1] if int(s_row[0]) == v else s_row[0])
-        # the link's two remaining unrooted edges are "stay" targets
-        # (compare edge ids: several rooted nodes can share an edge)
-        link_edges = {int(rv.node_to_edge[u]), int(rv.node_to_edge[sib])}
-        applied = False
-        for best in np.argsort(-lnl_t):
-            best = int(best)
-            if int(rv.node_to_edge[best]) in link_edges:
-                break  # best remaining position is the current one
-            if lnl_t[best] - lnl_cur < min_gain:
+        # pad to the fixed batch size: a varying batch dimension would
+        # compile a fresh program per distinct block length (minutes
+        # each on the remote compile service)
+        n_real = len(block)
+        padded = block + [block[0]] * (batch_k - n_real)
+        mv = [spr_move_arrays(rv, v) for v in padded]
+        lnl_t, t1, t2, tp = spr_scores_batched(
+            engine, params, ta, np.stack([m for m, _ in mv]),
+            np.asarray(padded), np.stack([va for _, va in mv]),
+            weights=weights)
+        block = block[:n_real]
+
+        # per candidate: the best non-"stay" target above min_gain
+        proposals = []
+        for k, v in enumerate(block):
+            u = int(rv.parent[v])
+            s_row = rv.child[u - rv.n_otu]
+            sib = int(s_row[1] if int(s_row[0]) == v else s_row[0])
+            link_edges = {int(rv.node_to_edge[u]),
+                          int(rv.node_to_edge[sib])}
+            for best in np.argsort(-lnl_t[k]):
+                best = int(best)
+                if int(rv.node_to_edge[best]) in link_edges:
+                    break          # best remaining position = current
+                if lnl_t[k, best] - lnl_cur < min_gain:
+                    break
+                proposals.append((float(lnl_t[k, best]), k, v, best))
                 break
-            cand_topo = apply_spr(topo, rv, v, best, float(t1[best]),
-                                  float(t2[best]), float(tp[best]))
-            if accept_topo is not None and not accept_topo(cand_topo):
-                continue  # constraint-violating target: try next best
-            topo = cand_topo
-            lnl_cur = float(lnl_t[best])
-            applied = True
-            break
-        if applied:
-            n_applied += 1
-            rv = None  # force rebuild
+        if not proposals:
+            continue
+        proposals.sort(reverse=True)
+
+        # greedy footprint-disjoint application on the host edge list
+        new_topo = topo
+        used_edges: set[int] = set()
+        used_nodes: set[int] = set()
+        applied_block = []
+        for score, k, v, best in proposals:
+            if max_apply is not None and \
+                    len(applied_block) >= max_apply:
+                break
+            edges, nodes = _move_footprint(topo, rv, v, best)
+            if (edges & used_edges) or (nodes & used_nodes):
+                continue
+            cand = apply_spr(new_topo, rv, v, best,
+                             float(t1[k, best]), float(t2[k, best]),
+                             float(tp[k, best]))
+            if accept_topo is not None and not accept_topo(cand):
+                continue
+            new_topo = cand
+            used_edges |= edges
+            used_nodes |= nodes
+            applied_block.append((score, k, v, best))
+        if not applied_block:
+            continue
+
+        # joint guard: evaluate the joint application AND the single
+        # best move in ONE batched dispatch, keep the better (or the
+        # current tree if neither improves)
+        rv2 = new_topo.rooted()
+        ta2 = tree_arrays(rv2, dtype=engine.dtype)
+        if len(applied_block) > 1:
+            score, k, v, best = applied_block[0]
+            single_topo = apply_spr(topo, rv, v, best,
+                                    float(t1[k, best]),
+                                    float(t2[k, best]),
+                                    float(tp[k, best]))
+            rv_s = single_topo.rooted()
+            ta_s = tree_arrays(rv_s, dtype=engine.dtype)
+            fn2 = _batched_tree_loglik(engine)
+            trees = TreeArrays(
+                child=jnp.stack([ta2.child, ta_s.child]),
+                blen=jnp.stack([ta2.blen, ta_s.blen]))
+            w_v = engine.weights if weights is None else weights
+            vals = np.asarray(fn2(engine.data(),
+                                  engine.system_of(params), trees,
+                                  w_v))
+            if vals[1] > vals[0]:
+                new_topo, rv2, ta2 = single_topo, rv_s, ta_s
+                applied_block = applied_block[:1]
+                lnl_new = float(vals[1])
+            else:
+                lnl_new = float(vals[0])
+        else:
+            lnl_new = float(engine.loglik(params, ta2, weights))
+        if lnl_new <= lnl_cur:
+            continue                     # keep the current tree
+        topo, rv, ta = new_topo, rv2, ta2
+        lnl_cur = lnl_new
+        n_applied += len(applied_block)
     return topo, lnl_cur, n_applied
