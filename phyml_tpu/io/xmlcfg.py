@@ -56,7 +56,18 @@ def parse_xml(path: str) -> dict:
 
     lr = root.find("lineagerates")
     if lr is not None:
-        cfg["lineagerates"] = lr.get("model", "lognormal").lower()
+        name = lr.get("model", "lognormal").lower()
+        # reference name aliases (date.c:140-190): the
+        # geometric-Brownian "integrated" clock is Guindon 2012;
+        # "strictclock"/"strict" map to the strict clock
+        aliases = {
+            "geometricbrownian": "guindon", "geometric": "guindon",
+            "integrated": "guindon", "geo": "guindon",
+            "strictclock": "strict", "strict": "strict",
+            "lognormal": "lognormal", "thorne": "thorne",
+            "autocorrelated": "thorne",
+        }
+        cfg["lineagerates"] = aliases.get(name, name)
     cr = root.find("clockrate")
     if cr is not None:
         cfg["clockrate"] = {
