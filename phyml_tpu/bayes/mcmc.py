@@ -391,9 +391,13 @@ class MCMC:
         m = jnp.exp(step * (jax.random.uniform(key, ()) - 0.5))
         h = st.heights.at[self.n_otu:].multiply(m)
         log_h = (self.n_otu - 1) * jnp.log(m)
+        # blen invariance (lnL reuse) only holds when every tip sits
+        # at height 0: with heterochronous tips the tip-edge dt is not
+        # scaled uniformly, so the likelihood must be recomputed
+        affects = bool(np.any(np.asarray(self.tip_heights) != 0.0))
         return (st._replace(heights=h,
                             log_clock=st.log_clock - jnp.log(m)),
-                log_h, False)
+                log_h, affects)
 
     def _mv_subtree_scale(self, st, key, step):
         """Scale the internal heights STRICTLY below a random internal
@@ -706,11 +710,12 @@ class MCMC:
         traces = []
         ck_last = [__import__("time").monotonic()]
         resumed_key = None
+        resumed_extra: dict = {}
         if checkpoint_path is not None:
             from phyml_tpu.utils.checkpoint import load_chain, save_chain
             hit = load_chain(checkpoint_path, ChainState)
             if hit is not None:
-                st, done, self.step, resumed_key = hit
+                st, done, self.step, resumed_key, resumed_extra = hit
                 steps = jnp.asarray(self.step)
                 if verbose:
                     print(f"  mcmc resumed at iteration {done}")
@@ -723,8 +728,13 @@ class MCMC:
             trace_fh.write("iter\tposterior\tlnL\troot_height\t"
                            "clock\tnu\n")
         topo_rng = np.random.default_rng(s.seed + 77003)
-        self.topo_tries = 0
-        self.topo_accepts = 0
+        self.topo_tries = int(resumed_extra.get("topo_tries", 0))
+        self.topo_accepts = int(resumed_extra.get("topo_accepts", 0))
+        if "topo_rng_state" in resumed_extra:
+            # resume the host topology-proposal stream where it left
+            # off instead of replaying it from the start
+            topo_rng.bit_generator.state = \
+                resumed_extra["topo_rng_state"]
         self.topo_samples = []   # (iter, child table) after each batch
         while done < s.n_iter:
             n = min(s.batch, s.n_iter - done)
@@ -757,7 +767,13 @@ class MCMC:
                 if (_time.monotonic() - ck_last[0]
                         >= checkpoint_every_s) or done >= s.n_iter:
                     save_chain(checkpoint_path, st, done, self.step,
-                               key=np.asarray(key))
+                               key=np.asarray(key),
+                               extra={
+                                   "topo_rng_state":
+                                       topo_rng.bit_generator.state,
+                                   "topo_tries": self.topo_tries,
+                                   "topo_accepts": self.topo_accepts,
+                               })
                     ck_last[0] = _time.monotonic()
             if done <= s.burnin:
                 # host-side tuning (≙ MCMC_Adjust_Tuning_Parameter)
@@ -777,6 +793,10 @@ class MCMC:
                       f"posterior={float(st.lnL + st.lp):.3f} "
                       f"lnL={float(st.lnL):.3f}")
         acc_rate = tot_accs / np.maximum(tot_tries, 1)
+        if not traces:
+            # resumed at (or past) n_iter: no batches ran this call
+            self.ess = {}
+            return st, np.zeros((0, 5)), acc_rate
         trace_all = np.concatenate(traces, axis=0)
         from phyml_tpu.bayes.diagnostics import ess_report
         self.ess = ess_report(trace_all,

@@ -64,10 +64,15 @@ def parse_xml(path: str) -> dict:
             "geometricbrownian": "guindon", "geometric": "guindon",
             "integrated": "guindon", "geo": "guindon",
             "strictclock": "strict", "strict": "strict",
-            "lognormal": "lognormal", "thorne": "thorne",
-            "autocorrelated": "thorne",
+            "clock": "strict",
+            "lognormal": "lognormal", "normal": "lognormal",
+            "thorne": "thorne", "autocorrelated": "thorne",
         }
         cfg["lineagerates"] = aliases.get(name, name)
+    else:
+        # reference default when <lineagerates> is absent: the
+        # Guindon geometric-Brownian clock (date.c:129-135)
+        cfg["lineagerates"] = "guindon"
     cr = root.find("clockrate")
     if cr is not None:
         cfg["clockrate"] = {

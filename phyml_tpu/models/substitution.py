@@ -254,10 +254,19 @@ class SubstModel:
             lam, V, Vinv = reversible_eigen(S, pi, normalize=False)
         else:
             lam, V, Vinv = reversible_eigen(S, pi)
+        pinv = params.get("pinv", jnp.asarray(0.0))
         if fold_rates:
             lam = lam * rates[:, None]  # fold class rate into eigenvalues
-
-        pinv = params.get("pinv", jnp.asarray(0.0))
+            if self.invar:
+                # Branch lengths follow the reference's FILE convention
+                # (expected substitutions per site INCLUDING the never-
+                # changing invariant fraction): internally the variable-
+                # site process runs on t/(1-pinv)
+                # (Br_Len_Not_Involving_Invar utilities.c:4155, applied
+                # to user trees in main.c:237 and inverted on output).
+                # Folding 1/(1-pinv) into the eigenvalues is exactly
+                # equivalent and keeps every tree array in file units.
+                lam = lam / jnp.maximum(1.0 - pinv, 1e-8)
         return lam, V, Vinv, pi, w, pinv
 
     def _m4_observed_exch(self, params, S_base, o_pi):

@@ -285,6 +285,43 @@ def _move_footprint(topo, rv, v: int, target: int):
     return edges, nodes
 
 
+def _move_still_valid(cur_topo, rv, v: int, target: int) -> bool:
+    """Recheck a scored move against the CURRENT edge list.
+
+    Footprint-disjoint moves commute on the edge *entries*, but an
+    earlier move in the block can relocate a subtree so that this
+    move's regraft edge is now inside its own pruned component (the
+    regraft would create a cycle), or adjacent to the link (a no-op
+    split).  BFS from the moving endpoint of the prune edge, without
+    crossing it, and reject if the regraft edge is reachable."""
+    uid = rv.unrooted_id
+    u = int(rv.parent[v])
+    link = int(uid[u])
+    moving = int(uid[v])
+    prune_edge = int(rv.node_to_edge[v])
+    regraft_edge = int(rv.node_to_edge[target])
+    p, q = (int(x) for x in cur_topo.edges[regraft_edge])
+    if p == link or q == link:
+        return False                    # degenerate: regraft at link
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for eid, (a, b) in enumerate(cur_topo.edges):
+        if eid == prune_edge:
+            continue
+        adj.setdefault(int(a), []).append((eid, int(b)))
+        adj.setdefault(int(b), []).append((eid, int(a)))
+    seen_nodes = {moving}
+    stack = [moving]
+    while stack:
+        n0 = stack.pop()
+        for eid, n1 in adj.get(n0, ()):
+            if eid == regraft_edge:
+                return False            # target inside moving subtree
+            if n1 not in seen_nodes:
+                seen_nodes.add(n1)
+                stack.append(n1)
+    return True
+
+
 def spr_round(
     engine,
     params,
@@ -371,9 +408,15 @@ def spr_round(
             edges, nodes = _move_footprint(topo, rv, v, best)
             if (edges & used_edges) or (nodes & used_nodes):
                 continue
-            cand = apply_spr(new_topo, rv, v, best,
-                             float(t1[k, best]), float(t2[k, best]),
-                             float(tp[k, best]))
+            if not _move_still_valid(new_topo, rv, v, best):
+                continue
+            try:
+                cand = apply_spr(new_topo, rv, v, best,
+                                 float(t1[k, best]),
+                                 float(t2[k, best]),
+                                 float(tp[k, best]))
+            except (ValueError, AssertionError):
+                continue                 # stale move on edited tree
             if accept_topo is not None and not accept_topo(cand):
                 continue
             new_topo = cand

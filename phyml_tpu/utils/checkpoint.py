@@ -76,14 +76,18 @@ class Checkpointer:
 # ----------------------------------------------------------------------
 
 def save_chain(path: str, state, done: int, step_sizes,
-               key=None) -> None:
+               key=None, extra: dict | None = None) -> None:
     """Atomically persist an MCMC ChainState + progress so a killed
     chain resumes mid-run: all state arrays (incl. the sampled
-    topology), iteration count, tuned step sizes, and the PRNG key."""
+    topology), iteration count, tuned step sizes, and the PRNG key.
+    `extra` is any JSON-serializable side state (e.g. the host
+    topology-proposal RNG's bit-generator state + move counters)."""
     payload = {"done": np.asarray(done),
                "step_sizes": np.asarray(step_sizes)}
     if key is not None:
         payload["key"] = np.asarray(key)
+    if extra is not None:
+        payload["extra_json"] = np.asarray(json.dumps(extra))
     for field_name, v in state._asdict().items():
         if isinstance(v, dict):
             for k2, v2 in v.items():
@@ -99,13 +103,19 @@ def save_chain(path: str, state, done: int, step_sizes,
 
 
 def load_chain(path: str, state_cls):
-    """(state, done, step_sizes, key|None) or None if absent."""
+    """(state, done, step_sizes, key|None, extra) or None if absent.
+
+    Raises ValueError on a format mismatch (a ChainState field with
+    no entry in the npz — e.g. a checkpoint written before a field
+    was added): resuming into a structurally corrupt state would
+    otherwise fail far away with a confusing error."""
     if not os.path.exists(path):
         return None
     import jax.numpy as jnp
 
     z = np.load(path, allow_pickle=False)
     fields = {}
+    missing = []
     for name in state_cls._fields:
         fk = f"field_{name}"
         dk = f"dictkeys_{name}"
@@ -118,7 +128,14 @@ def load_chain(path: str, state_cls):
                 k: jnp.asarray(z[f"dict_{name}__{k}"]) for k in keys
             }
         else:
-            fields[name] = {}
+            missing.append(name)
+    if missing:
+        raise ValueError(
+            f"checkpoint {path!r} lacks ChainState field(s) "
+            f"{missing}: written by an older format — delete it to "
+            f"start fresh")
     key = jnp.asarray(z["key"]) if "key" in z.files else None
+    extra = (json.loads(str(z["extra_json"]))
+             if "extra_json" in z.files else {})
     return (state_cls(**fields), int(z["done"]),
-            np.asarray(z["step_sizes"]), key)
+            np.asarray(z["step_sizes"]), key, extra)

@@ -119,6 +119,38 @@ def test_spr_search_reaches_reference_lnl(nucleic):
     assert lnl >= GOLDEN_EF - 0.05
 
 
+@pytest.mark.slow
+def test_serial_spr_reaches_exact_optimum(nucleic):
+    """Exact-optimum ratchet (VERDICT r3 #10): one-move-at-a-time SPR
+    sweeps (the reference's spr.c:1380 semantics) from the BioNJ
+    start, alternated with parameter optimization, must reach the
+    golden optimum to the tight pre-block tolerance — keeps the block
+    path's 0.05 window from quietly widening further."""
+    from phyml_tpu.optim.round import round_optimize
+    from phyml_tpu.search.spr import spr_round
+
+    m = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    eng = LikelihoodEngine(nucleic, m, dtype=jnp.float64)
+    p = m.init_params(nucleic.obs_state_freqs)
+    topo = bionj_start(eng, p)
+    rng = np.random.default_rng(0)
+    lnl = -np.inf
+    for _ in range(12):
+        topo, lnl_spr, n_moves = spr_round(eng, p, topo, rng=rng,
+                                           batch_k=1)
+        p, ta, lnl = round_optimize(
+            eng, m, p, tree_arrays(topo.rooted(), dtype=jnp.float64),
+            max_rounds=3)
+        topo.set_blen_from_rooted(topo.rooted(), np.asarray(ta.blen))
+        if n_moves == 0:
+            break
+    # NNI polish, as the reference's Global_Spr_Search ends with
+    # Check_NNI_Five_Branches (spr.c:764)
+    from phyml_tpu.search.driver import nni_search
+    topo, p, lnl = nni_search(eng, m, p, topo)
+    assert lnl >= GOLDEN_EF - 0.01
+
+
 def test_stepwise_addition_parsimony_tree(nucleic):
     """Stepwise addition (Stepwise_Add_Pars pars.c:948): valid
     topology whose parsimony score beats random trees and approaches
