@@ -93,18 +93,32 @@ def _build_problem():
     return aln, topo, workdir, aln_path, tree_path
 
 
-def _measure_reference(aln_path, tree_path):
-    """Reference branch-length-optimization seconds (setup-subtracted)."""
+def _load_cache():
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as fh:
-            cache = json.load(fh)
-        if cache.get("config") == [N_TAXA, N_SITES, SEED]:
-            return cache["ref_opt_seconds"]
+            return json.load(fh)
+    return {}
+
+
+def _save_cache(cache):
+    with open(BASELINE_CACHE, "w") as fh:
+        json.dump(cache, fh)
+
+
+def _ensure_ref_bin():
     if not os.path.exists(REF_BIN):
         subprocess.run(
             ["sh", os.path.join(os.path.dirname(__file__), "tools",
                                 "build_reference.sh"), REF_BIN],
             check=True, capture_output=True)
+
+
+def _measure_reference(aln_path, tree_path):
+    """Reference branch-length-optimization seconds (setup-subtracted)."""
+    cache = _load_cache()
+    if cache.get("config") == [N_TAXA, N_SITES, SEED]:
+        return cache["ref_opt_seconds"]
+    _ensure_ref_bin()
     common = [REF_BIN, "-i", aln_path, "-d", "nt", "-m", "GTR",
               "-c", "4", "-a", "0.7", "-u", tree_path, "-b", "0",
               "--no_memory_check", "--leave_duplicates",
@@ -116,11 +130,118 @@ def _measure_reference(aln_path, tree_path):
                        capture_output=True)
         times[mode] = time.monotonic() - t0
     ref_opt = max(times["l"] - times["n"], 1e-3)
-    with open(BASELINE_CACHE, "w") as fh:
-        json.dump({"config": [N_TAXA, N_SITES, SEED],
-                   "ref_opt_seconds": ref_opt,
-                   "ref_setup_seconds": times["n"]}, fh)
+    cache.update({"config": [N_TAXA, N_SITES, SEED],
+                  "ref_opt_seconds": ref_opt,
+                  "ref_setup_seconds": times["n"]})
+    _save_cache(cache)
     return ref_opt
+
+
+# ----------------------------------------------------------------------
+# End-to-end search benchmarks (BASELINE.md configs 2-4): wall-clock
+# to the ML tree, ours (over the tunnel, compile warmed in-process)
+# vs the reference binary run locally on the same host.
+# ----------------------------------------------------------------------
+
+E2E_CONFIGS = {
+    "c2_nucleic_gtr_spr": {
+        "ref_cmd": lambda: [REF_BIN, "-i", "/tmp/bench_nucleic.phy",
+                            "-d", "nt", "-m", "GTR", "-c", "4",
+                            "-a", "e", "-s", "SPR", "-b", "0",
+                            "-o", "tlr", "--no_memory_check",
+                            "--r_seed", "1"],
+        "data": ("/root/reference/examples/nucleic", "nt",
+                 "/tmp/bench_nucleic.phy"),
+        "min_lnl": -5382.45,     # reference's own -s SPR run: -5382.479
+    },
+    "c3_proteic_lg_nni": {
+        "ref_cmd": lambda: [REF_BIN, "-i", "/tmp/bench_proteic.phy",
+                            "-d", "aa", "-m", "LG", "-c", "4",
+                            "-a", "e", "-v", "e", "-s", "NNI",
+                            "-b", "0", "-o", "tlr",
+                            "--no_memory_check", "-f", "e",
+                            "--r_seed", "1"],
+        "data": ("/root/reference/examples/proteic", "aa",
+                 "/tmp/bench_proteic.phy"),
+        "min_lnl": -12435.40,    # reference NNI run: -12435.287
+    },
+    "c4_lg4x_mixture": {
+        # the shipped examples/lg4x/lg4x.xml analysis (4 custom
+        # matrices + freerates; reference final lnL -12323.738)
+        "ref_cmd": None,         # measured via the XML (see below)
+        "data": ("/root/reference/examples/proteic", "aa",
+                 "/tmp/bench_proteic.phy"),
+        "min_lnl": -12323.90,
+    },
+}
+
+
+def _measure_reference_e2e(name):
+    cache = _load_cache()
+    key = f"ref_e2e_{name}"
+    if key in cache:
+        return cache[key]
+    _ensure_ref_bin()
+    cfg = E2E_CONFIGS[name]
+    src, dtyp, path = cfg["data"]
+    if not os.path.exists(path):
+        import shutil
+        shutil.copy(src, path)
+    t0 = time.monotonic()
+    if cfg["ref_cmd"] is None:
+        # lg4x XML: paths inside the xml are relative to ../examples
+        subprocess.run([REF_BIN, "--xml=../examples/lg4x/lg4x.xml"],
+                       cwd="/tmp/phyml-ref/src", check=True,
+                       capture_output=True)
+    else:
+        subprocess.run(cfg["ref_cmd"](), check=True,
+                       capture_output=True)
+    dt = time.monotonic() - t0
+    cache[key] = dt
+    _save_cache(cache)
+    return dt
+
+
+def _run_ours_e2e(name):
+    """(seconds, lnL): our iterated search, timed after an in-process
+    warm run (compiles excluded; the persistent cache makes CLI runs
+    pay this once per problem shape, not per analysis)."""
+    import jax.numpy as jnp
+
+    from phyml_tpu.io.alignment import read_alignment
+    from phyml_tpu.models.substitution import SubstModel, lg4x_model
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+    from phyml_tpu.search.bionj import bionj_start
+    from phyml_tpu.search.driver import ml_search
+
+    src, dtyp, _ = E2E_CONFIGS[name]["data"]
+    aln = read_alignment(src, datatype=dtyp)
+    if name == "c2_nucleic_gtr_spr":
+        model = SubstModel(datatype="nt", name="GTR", n_classes=4)
+        kind = "spr"
+    elif name == "c3_proteic_lg_nni":
+        model = SubstModel(datatype="aa", name="LG", n_classes=4,
+                           invar=True, freqs_mode="empirical")
+        model.optimize_pinv = True
+        kind = "nni"
+    else:
+        model = lg4x_model()
+        kind = "spr"
+    engine = LikelihoodEngine(aln, model, dtype=jnp.float32)
+
+    def once():
+        t0 = time.monotonic()
+        params = model.init_params(
+            aln.obs_state_freqs if model.freqs_mode == "empirical"
+            else None)
+        topo = bionj_start(engine, params)
+        topo, params, lnl = ml_search(engine, model, params, topo,
+                                      kind=kind)
+        return time.monotonic() - t0, float(lnl)
+
+    once()                                     # warm (compiles)
+    dt, lnl = once()
+    return dt, lnl
 
 
 def main():
@@ -182,6 +303,20 @@ def main():
         f"{TRUE_OPT_LNL:.2f} (tol {LNL_TOL})"
     )
 
+    # --- end-to-end search wall-clock (BASELINE configs 2-4) --------
+    e2e = {}
+    for name in E2E_CONFIGS:
+        ref_s = _measure_reference_e2e(name)
+        ours_s, lnl = _run_ours_e2e(name)
+        assert lnl >= E2E_CONFIGS[name]["min_lnl"], (
+            f"{name}: search lnL {lnl:.3f} regressed below "
+            f"{E2E_CONFIGS[name]['min_lnl']}"
+        )
+        e2e[name] = dict(ours_s=round(ours_s, 2),
+                         ref_s=round(ref_s, 2),
+                         speedup=round(ref_s / ours_s, 2),
+                         lnl=round(lnl, 3))
+
     print(json.dumps({
         "metric": "CLV site-updates/sec/chip (GTR+Gamma4, "
                   f"{N_TAXA}x{N_SITES}nt)",
@@ -192,6 +327,13 @@ def main():
     print(f"# blen-opt: ours {ours_opt_s:.2f}s (lnL {float(lnl_opt):.2f}) "
           f"vs reference {ref_opt_s:.2f}s",
           file=sys.stderr)
+    for name, d in e2e.items():
+        print(f"# e2e {name}: ours {d['ours_s']}s vs reference "
+              f"{d['ref_s']}s (speedup {d['speedup']}x, "
+              f"lnL {d['lnl']})", file=sys.stderr)
+    with open(os.path.join(os.path.dirname(__file__),
+                           "E2E.json"), "w") as fh:
+        json.dump(e2e, fh, indent=1)
 
 
 if __name__ == "__main__":

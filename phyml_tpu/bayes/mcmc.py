@@ -75,6 +75,9 @@ class MCMC:
         "rate_walk", "nu_scale", "hyper_scale", "subst_kappa",
         "subst_alpha", "rates_clock_swap", "trait_s2", "trait_scaler",
         "tree_clock_swap", "subtree_scale",
+        # r4 mixing additions (≙ mcmc.c:6591-6668 tuned-move depth):
+        "updown_root_clock", "rate_exchange", "nu_rates_updown",
+        "height_jitter",
     ]
 
     def __init__(self, engine, model, subst_params, time_tree,
@@ -121,12 +124,9 @@ class MCMC:
         if sample_topology and fastlk:
             raise ValueError("fastlk expands around ONE topology; "
                              "it cannot support tree moves")
-        if sample_topology and trait_x is not None and \
-                trait_kind not in ("rw", "rrw"):
-            raise ValueError(
-                f"tree moves with trait_kind={trait_kind!r} are not "
-                "supported (its trait likelihood bakes the topology "
-                "in at trace time)")
+        # r4: the integrated movement models (ibm/iwn/iou) derive
+        # their MRCA table inside the trace (_mrca_table_traced), so
+        # the genealogy can be chain state for every trait kind
         self.topo_moves_per_batch = (
             topo_moves_per_batch if topo_moves_per_batch is not None
             else max(4, time_tree.n_otu))
@@ -154,24 +154,33 @@ class MCMC:
             0.3,   # hyper_scale
             0.3,   # kappa
             0.3,   # alpha
-            0.3,   # rates_clock_swap
+            1.0,   # rates_clock_swap
             0.5,   # trait_s2
             0.5,   # trait_scaler
-            0.2,   # tree_clock_swap
+            1.5,   # tree_clock_swap
             0.3,   # subtree_scale
+            0.5,   # updown_root_clock
+            0.3,   # rate_exchange
+            0.3,   # nu_rates_updown
+            0.5,   # height_jitter (fraction of the (lo,hi) window)
         ])
         has_tr = trait_x is not None
         w = np.array([
             3.0 * (n - 2), 2.0, 2.0, 2.0,
             (1.5 * (2 * n - 2)) if rate_model.kind != STRICT else 0.0,
             2.0 if rate_model.kind != STRICT else 0.0,
-            2.0 * len(self.hyper_names), 1.0, 1.0,
-            2.0 if rate_model.kind != STRICT else 0.0,
+            2.0 * len(self.hyper_names), 5.0, 5.0,
+            6.0 if rate_model.kind != STRICT else 0.0,
             2.0 if has_tr else 0.0,
             (1.5 * (2 * n - 2)) if has_tr and trait_kind == "rrw"
             else 0.0,
-            2.0,                    # tree_clock_swap (lnL-invariant)
+            6.0,                    # tree_clock_swap (lnL-invariant)
             1.0 * max(n - 3, 0),    # subtree_scale
+            6.0,                    # updown_root_clock
+            (1.0 * (n - 1)) if rate_model.kind != STRICT else 0.0,
+            2.0 if rate_model.kind in ("lognormal", "thorne")
+            else 0.0,               # nu_rates_updown
+            2.0 * (n - 2),          # height_jitter
         ])
         if "kappa" not in subst_params:
             w[7] = 0.0
@@ -271,9 +280,11 @@ class MCMC:
                     s2x, log_scalers=state.trait_lr,
                     nu=jnp.asarray(self.trait_nu))
             else:
+                # integrated models (ibm/iwn/iou): state.child so
+                # genealogy moves re-derive the MRCA table in-trace
                 lk_x = location_loglik(
                     self.trait_kind, self.trait_x,
-                    np.asarray(self.child), dtc, s2x)
+                    state.child, dtc, s2x)
             lp = lp + lk_x - s2x  # Exp(1) hyperprior on sigma^2
         return jnp.where(feasible, lp, NEG_INF)
 
@@ -424,6 +435,66 @@ class MCMC:
         log_hast = jnp.sum(scaled) * jnp.log(m)
         return st._replace(heights=h), log_hast, True
 
+    def _mv_updown_root_clock(self, st, key, step):
+        """Scale the root height toward/away from its children by m
+        and the clock by 1/m: the root-edge lengths stay near-constant
+        while (root age, clock) decorrelate (≙ MCMC_Updown_T_Cr,
+        mcmc.c).  Hastings: log m from the height part."""
+        i = self.root - self.n_otu
+        lo = jnp.maximum(st.heights[st.child[i, 0]],
+                         st.heights[st.child[i, 1]])
+        m = jnp.exp(step * (jax.random.uniform(key, ()) - 0.5))
+        h = lo + m * (st.heights[self.root] - lo)
+        return (st._replace(
+            heights=st.heights.at[self.root].set(h),
+            log_clock=st.log_clock - jnp.log(m)), jnp.log(m), True)
+
+    def _mv_rate_exchange(self, st, key, step):
+        """Antithetic rate update on the two child edges of a random
+        internal node: +d on one, -d on the other.  Keeps the local
+        rate mass while changing both branch lengths — mixes the
+        autocorrelated (Thorne) and lognormal rate fields much faster
+        than independent single-edge walks (≙ the reference's
+        exchange-between-adjacent-edges moves)."""
+        k1, k2 = jax.random.split(key)
+        i = jax.random.randint(k1, (), 0, self.n_otu - 1)
+        c0 = st.child[i, 0]
+        c1 = st.child[i, 1]
+        d = step * jax.random.normal(k2, ())
+        log_r = st.log_r.at[c0].add(d).at[c1].add(-d)
+        return st._replace(log_r=log_r), 0.0, True
+
+    def _mv_nu_rates_updown(self, st, key, step):
+        """Scale the per-edge log-rate deviations by m and nu by m^2:
+        the standardized rate field is invariant, so the move slides
+        along the (nu, spread) ridge that traps single-variable nu
+        walks.  Hastings: (n_edges) log m from the log_r scaling (the
+        log_nu translation has unit Jacobian)."""
+        m = jnp.exp(step * (jax.random.uniform(key, ()) - 0.5))
+        used = jnp.arange(self.n_nodes) != self.root
+        log_r = jnp.where(used, st.log_r * m, st.log_r)
+        n_used = self.n_nodes - 1
+        return (st._replace(log_r=log_r,
+                            log_nu=st.log_nu + 2.0 * jnp.log(m)),
+                n_used * jnp.log(m), True)
+
+    def _mv_height_jitter(self, st, key, step):
+        """Reflected local jitter of one internal non-root height
+        within its (oldest child, parent) window — a tuned companion
+        to the uniform-window redraw of height_slide (which jumps far
+        but accepts rarely; ≙ MCMC_Times windowed slides)."""
+        k1, k2 = jax.random.split(key)
+        i = jax.random.randint(k1, (), 0, self.n_otu - 2)
+        u = self.n_otu + i
+        lo = jnp.maximum(st.heights[st.child[i, 0]],
+                         st.heights[st.child[i, 1]])
+        hi = st.heights[st.parent[u]]
+        w = hi - lo
+        d = step * w * (jax.random.uniform(k2, ()) - 0.5)
+        x = jnp.mod(st.heights[u] + d - lo, 2.0 * w)
+        h = lo + jnp.minimum(x, 2.0 * w - x)     # reflect into (lo,hi)
+        return st._replace(heights=st.heights.at[u].set(h)), 0.0, True
+
     # ------------------------------------------------------------------
     def _step(self, st: ChainState, key, steps):
         kmv, kprop, kacc = jax.random.split(key, 3)
@@ -441,6 +512,10 @@ class MCMC:
             self._mv_trait_scaler,
             self._mv_tree_clock_swap,
             self._mv_subtree_scale,
+            self._mv_updown_root_clock,
+            self._mv_rate_exchange,
+            self._mv_nu_rates_updown,
+            self._mv_height_jitter,
         ]
 
         def branch(fn, i):

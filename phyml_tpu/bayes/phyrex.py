@@ -175,7 +175,10 @@ def run_phyrex(
     chain jointly samples (genealogy, node times, locations) via the
     time-tree moves — the reference's PHYREX_MCMC samples the
     genealogy too (phyrex.c:1234).  The integrated movement models
-    (ibm/iwn/iou) currently require a fixed genealogy."""
+    (ibm/iwn/iou) support sampled genealogies as well (their MRCA
+    table is derived in-trace, bayes/traits._mrca_table_traced); pass
+    sample_topology=True to enable (≙ ibm.c:930, iwn.c, iou.c inside
+    the full PhyREX sampler)."""
     import jax
 
     from phyml_tpu.models.substitution import SubstModel
@@ -189,6 +192,15 @@ def run_phyrex(
             "HKY85" if aln.datatype == "nt" else "LG"), n_classes=4)
     engine = LikelihoodEngine(aln, model)
     params = model.init_params(aln.obs_state_freqs)
+
+    if trait_kind == "slfv":
+        # the reference's DEFAULT PhyREX model (init.c:6097
+        # SLFV_GAUSSIAN): joint trans-dimensional sampling of the
+        # event-disk history, genealogy, locations, clock AND the
+        # sequence likelihood (phyrex.c:1234 PHYREX_MCMC)
+        return _run_phyrex_slfv(engine, model, params, coords,
+                                time_tree, settings, trace_path,
+                                verbose)
 
     if sample_topology is None:
         sample_topology = trait_kind in ("rw", "rrw")
@@ -241,3 +253,89 @@ def print_summary(res: PhyrexResult, out=sys.stdout) -> None:
               "sigma2", "clock_rate"):
         out.write(f"  {k:18s} {s[k]}\n")
     out.write(f"  root location:     {s['root_location']}\n")
+
+
+def _run_phyrex_slfv(engine, model, params, coords, time_tree,
+                     settings, trace_path, verbose) -> PhyrexResult:
+    """SLFV-mode PhyREX: SLFVJointSampler over the augmented
+    event-disk state, coupled to the sequence likelihood through a
+    strict clock (≙ phyrex.c:1234 with mmod->model_id ==
+    SLFV_GAUSSIAN, the reference default)."""
+    from phyml_tpu.bayes.slfv import (
+        SLFVJointSampler, SLFVParams, make_seq_loglik_fn,
+        state_from_timetree, state_to_timetree,
+    )
+
+    coords = np.asarray(coords, dtype=np.float64)
+    pad = 0.25 * (coords.max(0) - coords.min(0) + 1.0)
+    p0 = SLFVParams(
+        lbda=1.0, mu=0.5,
+        rad=float(np.mean(coords.std(0)) + 0.1),
+        lim_lo=tuple(coords.min(0) - pad),
+        lim_up=tuple(coords.max(0) + pad),
+    )
+    rng = np.random.default_rng((settings.seed if settings else 0)
+                                + 4711)
+    # initial heights: rescale the (substitution-scale) time tree so
+    # the clock starts near 1
+    st0 = state_from_timetree(time_tree, coords, rng)
+    seq_fn = make_seq_loglik_fn(engine, params)
+    smp = SLFVJointSampler(
+        st0, p0, seed=(settings.seed if settings else 0),
+        seq_fn=seq_fn, clock0=1.0)
+    s = settings or MCMCSettings()
+    n_sweeps = max(50, s.n_iter // 20)
+    thin = max(1, n_sweeps // 200)
+    fh = open(trace_path, "w") if trace_path else None
+    if fh:
+        fh.write("sweep\tposterior\tlbda\tmu\trad\tn_disks\t"
+                 "root_height\tclock\n")
+    out = []
+    for it in range(n_sweeps):
+        smp.sweep()
+        if it % thin == 0:
+            st, p = smp.state, smp.params
+            row = (smp.lp, p.lbda, p.mu, p.rad, st.n_disks,
+                   float(st.h_node.max()), smp.clock)
+            out.append(row)
+            if fh:
+                fh.write(f"{it}\t" + "\t".join(
+                    f"{x:.6g}" for x in row) + "\n")
+            if verbose and it % (thin * 10) == 0:
+                print(f"  slfv sweep {it}/{n_sweeps} "
+                      f"posterior={smp.lp:.2f} "
+                      f"disks={st.n_disks}")
+    if fh:
+        fh.close()
+    trace = np.asarray(out)
+    final = smp.state
+    tree = state_to_timetree(final)
+    tree = TimeTree(n_otu=tree.n_otu, child=tree.child,
+                    heights=tree.heights,
+                    names=list(time_tree.names))
+    root_ldsk = int(np.argmax(final.parent < 0))
+    anc = np.full((tree.n_nodes, coords.shape[1]), np.nan)
+    anc[:tree.n_otu] = coords
+    anc[tree.n_nodes - 1] = final.coord[root_ldsk]
+    acc = np.asarray([smp.accepts[m] / max(smp.tries[m], 1)
+                      for m in smp.MOVES])
+    summary = {
+        "n_iter": n_sweeps,
+        "posterior_final": float(smp.lp),
+        "lnL_final": float(smp.seq_lnl),
+        "root_height": float(final.h_node.max()),
+        "sigma2": float(smp.params.rad ** 2),
+        "root_location": final.coord[root_ldsk].tolist(),
+        "clock_rate": float(smp.clock),
+        "spatial_model": "slfv",
+        "lbda": smp.params.lbda,
+        "mu": smp.params.mu,
+        "rad": smp.params.rad,
+        "n_disks_final": int(final.n_disks),
+        "acceptance": {m: float(a)
+                       for m, a in zip(smp.MOVES, acc)},
+    }
+    return PhyrexResult(tree=tree, state=final, trace=trace,
+                        acc_rate=acc,
+                        sigma2=float(smp.params.rad ** 2),
+                        anc_locations=anc, summary=summary)

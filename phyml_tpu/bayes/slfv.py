@@ -152,8 +152,10 @@ def slfv_loglik(state: SLFVState, params: SLFVParams):
     # disk-center density: uniform over the habitat, every disk
     lnl = lnl + state.n_disks * jnp.sum(-jnp.log(up - lo))
 
-    # event-time Poisson term: total span young(0) -> oldest disk
-    dt_total = jnp.max(h_disk) if state.n_disks else 0.0
+    # event-time Poisson term over the sampled span young(0) -> MRCA
+    # (disks older than the root are integrated out of the model;
+    # matches _loglik_np so fixed- and joint-sampling paths agree)
+    dt_total = jnp.max(h_node) if state.n_ldsk else 0.0
     lnl = lnl + state.n_disks * jnp.log(lbda) - lbda * dt_total
 
     return jnp.where(inside, lnl, NEG_INF)
@@ -248,24 +250,28 @@ def state_to_timetree(state: SLFVState):
             return rs[0]
         node = rs[0]
         for other in rs[1:]:
-            merges.append((float(state.h_node[u]), node, other))
-            node = -len(merges)  # placeholder id
+            pid = -(len(merges) + 1)     # placeholder id, by creation
+            merges.append((float(state.h_node[u]), node, other, pid))
+            node = pid
         return node
 
     root = int(np.argmax(np.asarray(state.parent) < 0))
     resolve(root)
+    # sort by height; each merge carries its OWN placeholder id, so
+    # references stay valid after reordering (children have smaller
+    # heights, hence resolve earlier in the sorted order)
     merges.sort(key=lambda m: m[0])
     n_nodes = 2 * n - 1
     heights = np.zeros(n_nodes)
     child = np.zeros((n - 1, 2), dtype=np.int64)
     remap: dict[int, int] = {}
     nxt = n
-    for k, (h, a, b) in enumerate(merges):
-        ia = remap.get(a, a) if a >= 0 else remap[a]
-        ib = remap.get(b, b) if b >= 0 else remap[b]
+    for k, (h, a, b, pid) in enumerate(merges):
+        ia = a if a >= 0 else remap[a]
+        ib = b if b >= 0 else remap[b]
         child[k] = (ia, ib)
         heights[nxt] = h
-        remap[-(k + 1)] = nxt
+        remap[pid] = nxt
         nxt += 1
     names = [f"t{i}" for i in range(n)]
     return TimeTree(n_otu=n, child=child, heights=heights, names=names)
@@ -305,3 +311,516 @@ def slfv_param_mcmc(state: SLFVState, params: SLFVParams,
             cur, lp = prop, lp_new
         trace[it] = (lp, cur.lbda, cur.mu, cur.rad)
     return cur, trace
+
+
+# ----------------------------------------------------------------------
+# Joint trans-dimensional MCMC over the augmented SLFV state
+# (≙ PHYREX_MCMC phyrex.c:1234 with the MCMC_PHYREX_* move family:
+#  indel_disk, indel_hit, move_disk_ud, ldsk_given_disk,
+#  disk_given_ldsk, wide_exchange, scale_times, lbda/mu/rad)
+# ----------------------------------------------------------------------
+
+def _loglik_np(state: SLFVState, params: SLFVParams) -> float:
+    """Pure-numpy augmented log-density, identical in value to
+    slfv_loglik: the host-side sampler evaluates thousands of small
+    proposals per second, where eager jnp dispatch would dominate.
+    The Poisson span is the ROOT height (disks older than the MRCA
+    are integrated out of the model, matching TIMES_Lk_SLFV
+    times.c:2751 which spans sampled time only)."""
+    coord = np.asarray(state.coord)
+    h_node = np.asarray(state.h_node)
+    parent = np.asarray(state.parent)
+    h_disk = np.asarray(state.h_disk)
+    centr = np.asarray(state.centr)
+    hit = np.asarray(state.hit)
+    lo = np.asarray(params.lim_lo, dtype=np.float64)
+    up = np.asarray(params.lim_up, dtype=np.float64)
+    lbda, mu, rad = params.lbda, params.mu, params.rad
+    L, K = coord.shape[0], h_disk.shape[0]
+
+    if np.any(coord < lo) or np.any(coord > up):
+        return float(NEG_INF)
+
+    parent_safe = np.clip(parent, 0, L - 1)
+    h_end = np.where(parent >= 0, h_node[parent_safe], np.inf)
+    active = (h_node[None, :] < h_disk[:, None]) \
+        & (h_disk[:, None] <= h_end[None, :])
+
+    disk_of_node = np.full(L, -1, dtype=np.int64)
+    ok_h = hit >= 0
+    disk_of_node[hit[ok_h]] = np.nonzero(ok_h)[0]
+    rows = disk_of_node[parent_safe]
+    sel = (parent >= 0) & (rows >= 0)
+    hit_mask = np.zeros((K, L), dtype=bool)
+    hit_mask[rows[sel], np.nonzero(sel)[0]] = True
+
+    d2 = ((coord[None, :, :] - centr[:, None, :]) ** 2).sum(-1)
+    log_p_hit = np.minimum(np.log(mu) - d2 / (2.0 * rad * rad),
+                           -1e-10)
+    log_p_miss = np.log(-np.expm1(log_p_hit))
+    lnl = float(np.sum(np.where(hit_mask, log_p_hit,
+                                log_p_miss)[active]))
+
+    if ok_h.any():
+        from scipy.stats import norm as _norm  # CPU-host path
+        kids = hit[ok_h]
+        x = coord[kids]
+        c = centr[np.nonzero(ok_h)[0]]
+        z = (x - c) / rad
+        log_pdf = -0.5 * (z * z + LOG2PI) - np.log(rad)
+        a = _norm.cdf((up[None] - c) / rad)
+        b = _norm.cdf((lo[None] - c) / rad)
+        lnl += float(np.sum(log_pdf
+                            - np.log(np.maximum(a - b, 1e-300))))
+
+    lnl += K * float(np.sum(-np.log(up - lo)))
+    span = float(h_node.max()) if L else 0.0
+    lnl += K * np.log(lbda) - lbda * span
+    return lnl
+
+
+class SLFVJointSampler:
+    """Metropolis-Hastings over the FULL augmented state (disks, disk
+    centers/times, ldsk locations, genealogy) jointly with the
+    parameters (lbda, mu, rad) — what r3 lacked: slfv_param_mcmc
+    froze the augmented state (a likelihood calculator, not PhyREX).
+
+    Moves (reference counterparts in mcmc.c):
+      param       log-multiplier on lbda / mu / rad
+                  (MCMC_PHYREX_Lbda/_Mu/_Radius)
+      centr       Gaussian jitter of one disk center
+                  (MCMC_PHYREX_Disk_Multi)
+      ldsk        Gaussian jitter of one internal ldsk location
+                  (MCMC_PHYREX_Ldsk_Multi)
+      etime       uniform re-draw of one EMPTY disk's time
+                  (MCMC_PHYREX_Move_Disk_Updown)
+      ntime       move one internal node's height (with its disk)
+                  within (oldest child, parent) (mcmc.c node times)
+      indel_disk  reversible-jump insert/delete of an empty disk
+                  (MCMC_PHYREX_Indel_Disk)
+      indel_hit   reversible-jump insert/delete of a single-hit
+                  pass-through ldsk (MCMC_PHYREX_Indel_Hit /
+                  Add_Remove_Jump)
+      exchange    swap the parents of two nodes, heights permitting
+                  (MCMC_PHYREX_Wide_Exchange) — changes the genealogy
+      scale       scale all times by m (MCMC_PHYREX_Scale_Times)
+    """
+
+    MOVES = ("param", "centr", "ldsk", "etime", "ntime",
+             "indel_disk", "indel_hit", "exchange", "scale",
+             "clock")
+
+    def __init__(self, state: SLFVState, params: SLFVParams,
+                 seed: int = 0, sample_params: bool = True,
+                 sample_genealogy: bool = True, step: float = 0.4,
+                 seq_fn=None, clock0: float = 1.0):
+        """seq_fn (optional): callable (state, clock) -> sequence
+        log-likelihood; when given, genealogy/time moves are accepted
+        against the JOINT (spatial x sequence) posterior and a strict
+        clock rate is sampled alongside — the full PhyREX coupling
+        (phyrex.c:1234)."""
+        self.state = SLFVState(
+            n_otu=state.n_otu,
+            coord=np.array(state.coord, dtype=np.float64),
+            h_node=np.array(state.h_node, dtype=np.float64),
+            parent=np.array(state.parent, dtype=np.int64),
+            h_disk=np.array(state.h_disk, dtype=np.float64),
+            centr=np.array(state.centr, dtype=np.float64),
+            hit=np.array(state.hit, dtype=np.int64),
+        )
+        self.params = params
+        self.rng = np.random.default_rng(seed)
+        self.sample_params = sample_params
+        self.sample_genealogy = sample_genealogy
+        self.step = step
+        self.seq_fn = seq_fn
+        self.clock = float(clock0)
+        self.seq_lnl = (float(seq_fn(self.state, self.clock))
+                        if seq_fn else 0.0)
+        self.lp = _loglik_np(self.state, params) \
+            + self._lprior(params) + self.seq_lnl
+        self.tries = {m: 0 for m in self.MOVES}
+        self.accepts = {m: 0 for m in self.MOVES}
+
+    # -- priors: Exp(1) on lbda/rad, U(0,1) on mu (phyrex.c defaults)
+    @staticmethod
+    def _lprior(p: SLFVParams) -> float:
+        if p.mu <= 0 or p.mu > 1 or p.lbda <= 0 or p.rad <= 0:
+            return float(NEG_INF)
+        return -p.lbda - p.rad
+
+    def _post(self, state, params) -> float:
+        pr = self._lprior(params)
+        if pr <= NEG_INF:
+            return float(NEG_INF)
+        return _loglik_np(state, params) + pr
+
+    def _accept(self, name, state_new, params_new, log_hastings,
+                affects_seq: bool = False, clock_new=None):
+        """affects_seq: the move changes the collapsed genealogy or
+        its node times (pass-through inserts and spatial-only moves
+        leave the sequence likelihood untouched)."""
+        clock_new = self.clock if clock_new is None else clock_new
+        lp_new = self._post(state_new, params_new)
+        seq_new = self.seq_lnl
+        if self.seq_fn is not None and lp_new > NEG_INF \
+                and (affects_seq or clock_new != self.clock):
+            seq_new = float(self.seq_fn(state_new, clock_new))
+        lp_new = lp_new + seq_new
+        self.tries[name] += 1
+        if np.log(self.rng.random()) < lp_new - self.lp + log_hastings:
+            self.state, self.params, self.lp = \
+                state_new, params_new, lp_new
+            self.clock, self.seq_lnl = clock_new, seq_new
+            self.accepts[name] += 1
+            return True
+        return False
+
+    def _copy(self) -> SLFVState:
+        s = self.state
+        return SLFVState(n_otu=s.n_otu, coord=s.coord.copy(),
+                         h_node=s.h_node.copy(),
+                         parent=s.parent.copy(),
+                         h_disk=s.h_disk.copy(),
+                         centr=s.centr.copy(), hit=s.hit.copy())
+
+    # ------------------------------------------------------------------
+    def _mv_param(self):
+        which = int(self.rng.integers(3))
+        m = float(np.exp(self.step * (self.rng.random() - 0.5)))
+        p = self.params
+        if which == 0:
+            p2 = replace(p, lbda=p.lbda * m)
+        elif which == 1:
+            p2 = replace(p, mu=p.mu * m)
+        else:
+            p2 = replace(p, rad=p.rad * m)
+        return self._accept("param", self.state, p2, np.log(m))
+
+    def _mv_centr(self):
+        s = self.state
+        if s.n_disks == 0:
+            return False
+        k = int(self.rng.integers(s.n_disks))
+        s2 = self._copy()
+        s2.centr[k] = s2.centr[k] + self.params.rad * 0.5 \
+            * self.rng.standard_normal(s2.centr.shape[1])
+        # centers may leave the habitat in the reference too (the
+        # density's center term is uniform over the habitat: reject)
+        lo = np.asarray(self.params.lim_lo)
+        up = np.asarray(self.params.lim_up)
+        if np.any(s2.centr[k] < lo) or np.any(s2.centr[k] > up):
+            self.tries["centr"] += 1
+            return False
+        return self._accept("centr", s2, self.params, 0.0)
+
+    def _mv_ldsk(self):
+        s = self.state
+        internal = np.nonzero(np.arange(s.n_ldsk) >= s.n_otu)[0]
+        if internal.size == 0:
+            return False
+        l = int(self.rng.choice(internal))
+        s2 = self._copy()
+        s2.coord[l] = s2.coord[l] + self.params.rad * 0.5 \
+            * self.rng.standard_normal(s2.coord.shape[1])
+        return self._accept("ldsk", s2, self.params, 0.0)
+
+    def _mv_etime(self):
+        s = self.state
+        empty = np.nonzero(s.hit < 0)[0]
+        if empty.size == 0:
+            return False
+        k = int(self.rng.choice(empty))
+        span = float(s.h_node.max())
+        s2 = self._copy()
+        s2.h_disk[k] = span * self.rng.random()
+        return self._accept("etime", s2, self.params, 0.0)
+
+    def _mv_ntime(self):
+        """Move an internal (non-root) node's height together with
+        its creating disk, uniform within (oldest child, parent)."""
+        s = self.state
+        cand = [m for m in range(s.n_otu, s.n_ldsk)
+                if s.parent[m] >= 0]
+        if not cand:
+            return False
+        m = int(self.rng.choice(cand))
+        kids = np.nonzero(s.parent == m)[0]
+        lo_t = float(s.h_node[kids].max()) if kids.size else 0.0
+        hi_t = float(s.h_node[s.parent[m]])
+        if hi_t <= lo_t:
+            return False
+        t = lo_t + (hi_t - lo_t) * self.rng.random()
+        s2 = self._copy()
+        s2.h_node[m] = t
+        dk = np.nonzero(s2.hit == m)[0]
+        s2.h_disk[dk] = t
+        return self._accept("ntime", s2, self.params, 0.0,
+                            affects_seq=True)
+
+    def _mv_indel_disk(self):
+        """RJ insert/delete of an empty disk: u = (t, c) drawn
+        directly, Jacobian 1; q_ins = 1/2 * 1/(span * |A|),
+        q_del = 1/2 * 1/n_empty' (MCMC_PHYREX_Indel_Disk)."""
+        s = self.state
+        lo = np.asarray(self.params.lim_lo)
+        up = np.asarray(self.params.lim_up)
+        area = float(np.prod(up - lo))
+        span = float(s.h_node.max())
+        empty = np.nonzero(s.hit < 0)[0]
+        if self.rng.random() < 0.5:
+            # insert
+            t = span * self.rng.random()
+            c = lo + (up - lo) * self.rng.random(lo.shape[0])
+            s2 = self._copy()
+            s2.h_disk = np.append(s2.h_disk, t)
+            s2.centr = np.vstack([s2.centr, c[None]])
+            s2.hit = np.append(s2.hit, -1)
+            log_h = -np.log(empty.size + 1) \
+                - (-np.log(span * area))
+            return self._accept("indel_disk", s2, self.params, log_h)
+        if empty.size == 0:
+            return False
+        k = int(self.rng.choice(empty))
+        s2 = self._copy()
+        keep = np.arange(s2.n_disks) != k
+        s2.h_disk = s2.h_disk[keep]
+        s2.centr = s2.centr[keep]
+        s2.hit = s2.hit[keep]
+        log_h = (-np.log(span * area)) - (-np.log(empty.size))
+        return self._accept("indel_disk", s2, self.params, log_h)
+
+    def _single_hit_nodes(self, s):
+        """Pass-through internal nodes: exactly one child."""
+        counts = np.bincount(s.parent[s.parent >= 0],
+                             minlength=s.n_ldsk)
+        return [m for m in range(s.n_otu, s.n_ldsk)
+                if counts[m] == 1]
+
+    def _mv_indel_hit(self):
+        """RJ insert/delete of a single-hit (pass-through) ldsk on a
+        lineage segment: a location jump, the elementary event of the
+        SLFV lineage trajectory (MCMC_PHYREX_Add_Remove_Jump).
+        Insert: pick lineage l (parent >= 0), t ~ U(segment),
+        c ~ N(coord[l], rad), y ~ N(c, rad); q densities explicit."""
+        s = self.state
+        rad = self.params.rad
+        D = s.coord.shape[1]
+        lo = np.asarray(self.params.lim_lo)
+        up = np.asarray(self.params.lim_up)
+
+        def lognorm(x, mean, sd):
+            z = (np.asarray(x) - np.asarray(mean)) / sd
+            return float(np.sum(-0.5 * (z * z + LOG2PI) - np.log(sd)))
+
+        if self.rng.random() < 0.5:
+            # insert above lineage l
+            cands = np.nonzero(s.parent >= 0)[0]
+            if cands.size == 0:
+                return False
+            l = int(self.rng.choice(cands))
+            t_lo = float(s.h_node[l])
+            t_hi = float(s.h_node[s.parent[l]])
+            if t_hi <= t_lo:
+                return False
+            t = t_lo + (t_hi - t_lo) * self.rng.random()
+            c = s.coord[l] + rad * self.rng.standard_normal(D)
+            y = c + rad * self.rng.standard_normal(D)
+            if np.any(c < lo) or np.any(c > up) \
+                    or np.any(y < lo) or np.any(y > up):
+                self.tries["indel_hit"] += 1
+                return False
+            s2 = self._copy()
+            m = s2.n_ldsk
+            s2.coord = np.vstack([s2.coord, y[None]])
+            s2.h_node = np.append(s2.h_node, t)
+            s2.parent = np.append(s2.parent, s2.parent[l])
+            s2.parent[l] = m
+            s2.h_disk = np.append(s2.h_disk, t)
+            s2.centr = np.vstack([s2.centr, c[None]])
+            s2.hit = np.append(s2.hit, m)
+            n_single_new = len(self._single_hit_nodes(s2))
+            log_q_fwd = (-np.log(cands.size) - np.log(t_hi - t_lo)
+                         + lognorm(c, s.coord[l], rad)
+                         + lognorm(y, c, rad))
+            log_q_rev = -np.log(max(n_single_new, 1))
+            return self._accept("indel_hit", s2, self.params,
+                                log_q_rev - log_q_fwd)
+        # delete a pass-through node
+        singles = self._single_hit_nodes(s)
+        if not singles:
+            return False
+        m = int(self.rng.choice(singles))
+        child = int(np.nonzero(s.parent == m)[0][0])
+        dk = int(np.nonzero(s.hit == m)[0][0])
+        s2 = self._copy()
+        s2.parent[child] = s2.parent[m]
+        # drop node m, renumber node ids > m
+        keep_n = np.arange(s2.n_ldsk) != m
+        s2.coord = s2.coord[keep_n]
+        s2.h_node = s2.h_node[keep_n]
+        par = s2.parent[keep_n]
+        par = np.where(par > m, par - 1, par)
+        s2.parent = par
+        keep_k = np.arange(s2.n_disks) != dk
+        s2.h_disk = s2.h_disk[keep_k]
+        s2.centr = s2.centr[keep_k]
+        hit = s2.hit[keep_k]
+        s2.hit = np.where(hit > m, hit - 1, hit)
+        # reverse insert: choose child among parent>=0 lineages of s2,
+        # t in child's new segment, c ~ N(coord[child], rad), y ~ N(c, rad)
+        cands2 = int(np.sum(s2.parent >= 0))
+        child2 = child if child < m else child - 1
+        t_lo = float(s2.h_node[child2])
+        t_hi = float(s2.h_node[s2.parent[child2]])
+        if t_hi <= t_lo:
+            return False
+        log_q_fwd = -np.log(len(singles))
+        log_q_rev = (-np.log(cands2) - np.log(t_hi - t_lo)
+                     + lognorm(s.centr[dk], s2.coord[child2], rad)
+                     + lognorm(s.coord[m], s.centr[dk], rad))
+        return self._accept("indel_hit", s2, self.params,
+                            log_q_rev - log_q_fwd)
+
+    def _mv_exchange(self):
+        """Swap the parents of two nodes a, b (parents u != v), valid
+        when each node is younger than its new parent — a genealogy
+        topology change (MCMC_PHYREX_Wide_Exchange)."""
+        s = self.state
+        cands = np.nonzero(s.parent >= 0)[0]
+        if cands.size < 2:
+            return False
+        a, b = self.rng.choice(cands, size=2, replace=False)
+        a, b = int(a), int(b)
+        u, v = int(s.parent[a]), int(s.parent[b])
+        if u == v or a == v or b == u:
+            return False
+        if s.h_node[a] >= s.h_node[v] or s.h_node[b] >= s.h_node[u]:
+            return False
+        s2 = self._copy()
+        s2.parent[a], s2.parent[b] = v, u
+        return self._accept("exchange", s2, self.params, 0.0,
+                            affects_seq=True)
+
+    def _mv_scale(self):
+        """Scale every internal-node height and every empty-disk time
+        by m; hit-disk times follow their nodes.  Jacobian:
+        (n_internal + n_empty) log m (MCMC_PHYREX_Scale_Times)."""
+        s = self.state
+        m = float(np.exp(0.5 * self.step * (self.rng.random() - 0.5)))
+        s2 = self._copy()
+        s2.h_node[s.n_otu:] *= m
+        hit_nodes = s2.hit >= 0
+        s2.h_disk = np.where(hit_nodes, s2.h_node[
+            np.clip(s2.hit, 0, s2.n_ldsk - 1)], s2.h_disk * m)
+        n_free = (s.n_ldsk - s.n_otu) + int(np.sum(s.hit < 0))
+        # feasibility (child younger than parent) is scale-invariant
+        return self._accept("scale", s2, self.params,
+                            n_free * np.log(m), affects_seq=True)
+
+    def _mv_clock(self):
+        """Log-multiplier on the strict clock rate (seq-coupled runs
+        only); Exp(1) prior folded into the ratio via the -clock
+        term."""
+        if self.seq_fn is None:
+            return False
+        m = float(np.exp(self.step * (self.rng.random() - 0.5)))
+        c2 = self.clock * m
+        # prior ratio exp(-(c2 - c)) + Hastings log m
+        return self._accept("clock", self.state, self.params,
+                            np.log(m) - (c2 - self.clock),
+                            clock_new=c2)
+
+    # ------------------------------------------------------------------
+    def sweep(self):
+        """One sweep: every move family once, in random order."""
+        fns = {"param": self._mv_param, "centr": self._mv_centr,
+               "ldsk": self._mv_ldsk, "etime": self._mv_etime,
+               "ntime": self._mv_ntime,
+               "indel_disk": self._mv_indel_disk,
+               "indel_hit": self._mv_indel_hit,
+               "exchange": self._mv_exchange,
+               "scale": self._mv_scale,
+               "clock": self._mv_clock}
+        names = [m for m in self.MOVES
+                 if (self.sample_params or m != "param")
+                 and (self.sample_genealogy or m != "exchange")
+                 and (self.seq_fn is not None or m != "clock")]
+        for m in self.rng.permutation(names):
+            fns[str(m)]()
+
+    def run(self, n_sweeps: int = 2000, thin: int = 10):
+        """Returns trace [n_samples, 7]:
+        (posterior, lbda, mu, rad, n_disks, root_height, n_ldsk)."""
+        out = []
+        for it in range(n_sweeps):
+            self.sweep()
+            if it % thin == 0:
+                s, p = self.state, self.params
+                out.append((self.lp, p.lbda, p.mu, p.rad,
+                            s.n_disks, float(s.h_node.max()),
+                            s.n_ldsk))
+        return np.asarray(out)
+
+
+def state_from_timetree(tt, coords, rng=None, jitter: float = 1e-3):
+    """Initial augmented state from a binary TimeTree + tip
+    coordinates: one hit disk per coalescence, internal locations set
+    to child midpoints, no empty disks (the joint sampler inserts
+    them).  ≙ PHYREX_Tree_To_Ldsk-style initialization."""
+    rng = rng or np.random.default_rng(0)
+    n = tt.n_otu
+    coords = np.asarray(coords, dtype=np.float64)
+    D = coords.shape[1]
+    n_nodes = 2 * n - 1
+    coord = np.zeros((n_nodes, D))
+    coord[:n] = coords
+    parent = np.full(n_nodes, -1, dtype=np.int64)
+    for i in range(n - 1):
+        c0, c1 = int(tt.child[i, 0]), int(tt.child[i, 1])
+        u = n + i
+        parent[c0] = u
+        parent[c1] = u
+        coord[u] = 0.5 * (coord[c0] + coord[c1]) \
+            + jitter * rng.standard_normal(D)
+    h_node = np.asarray(tt.heights, dtype=np.float64).copy()
+    h_disk = h_node[n:].copy()
+    centr = coord[n:] + jitter * rng.standard_normal((n - 1, D))
+    hit = np.arange(n, n_nodes, dtype=np.int64)
+    return SLFVState(n_otu=n, coord=coord, h_node=h_node,
+                     parent=parent, h_disk=h_disk, centr=centr,
+                     hit=hit)
+
+
+def make_seq_loglik_fn(engine, params):
+    """Sequence log-likelihood of an augmented state under a strict
+    clock: collapse the ldsk chain to the binary time tree, set each
+    edge length to clock * dt, one compiled likelihood call.  Used by
+    SLFVJointSampler to couple the genealogy to the alignment — the
+    reference's PHYREX_MCMC likewise alternates spatial and sequence
+    terms (phyrex.c:1234, Lk calls per move)."""
+    import jax.numpy as jnp
+
+    from phyml_tpu.ops.likelihood import TreeArrays
+
+    sys_cached = engine.system_of(params)
+
+    def fn(state: SLFVState, clock: float) -> float:
+        tt = state_to_timetree(state)
+        n = tt.n_otu
+        par = np.full(tt.n_nodes, -1, dtype=np.int64)
+        for i in range(n - 1):
+            par[tt.child[i, 0]] = n + i
+            par[tt.child[i, 1]] = n + i
+        dt = np.where(par >= 0,
+                      tt.heights[np.clip(par, 0, tt.n_nodes - 1)]
+                      - tt.heights, 0.0)
+        blen = np.maximum(clock * dt, 1e-10)
+        blen[tt.n_nodes - 1] = 0.0
+        tree = TreeArrays(
+            child=jnp.asarray(tt.child, dtype=jnp.int32),
+            blen=jnp.asarray(blen, dtype=engine.dtype))
+        return float(engine._jit_loglik_sys(
+            engine.data(), sys_cached, tree, engine.weights))
+
+    return fn

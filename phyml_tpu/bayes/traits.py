@@ -220,9 +220,18 @@ class IntegratedModel:
         n, D = tip_x.shape
         n_nodes = 2 * n - 1
         dtp = tip_x.dtype
-        child_np = np.asarray(child)
-        mrca = jnp.asarray(_mrca_table(child_np, n), dtype=jnp.int32)
-        parent = _parent_from_child(jnp.asarray(child_np), n)
+        import jax.core
+        if isinstance(child, jax.core.Tracer):
+            # topology is CHAIN STATE (genealogy sampling with the
+            # integrated models, r3 verdict #8): derive the MRCA
+            # table inside the trace
+            mrca = _mrca_table_traced(child, n)
+            parent = _parent_from_child(child, n)
+        else:
+            child_np = np.asarray(child)
+            mrca = jnp.asarray(_mrca_table(child_np, n),
+                               dtype=jnp.int32)
+            parent = _parent_from_child(jnp.asarray(child_np), n)
 
         if self.kind == IWN:
             # positions are BM with edge variance sigma2*dt^2: the
@@ -280,6 +289,29 @@ def _path_cumsum(edge_val, parent, n_nodes):
         S = S + S[anc]
         anc = anc[anc]
     return S
+
+
+def _mrca_table_traced(child, n):
+    """Traceable tip-pair MRCA table: postorder descendant-tip masks,
+    then for every tip pair the SMALLEST-index node containing both
+    (postorder indices increase toward the root, so the minimum is
+    the lowest common ancestor).  O(n^3) bools — fine for the
+    phylogeography tier's tree sizes, and jit-compatible so the
+    genealogy can be chain state."""
+    n_nodes = 2 * n - 1
+    M0 = jnp.concatenate(
+        [jnp.eye(n, dtype=bool),
+         jnp.zeros((n - 1, n), dtype=bool)], axis=0)
+
+    def step(M, i):
+        row = M[child[i, 0]] | M[child[i, 1]]
+        return M.at[n + i].set(row), None
+
+    M, _ = jax.lax.scan(step, M0, jnp.arange(n - 1))
+    both = M[:, :, None] & M[:, None, :]          # [n_nodes, n, n]
+    idx = jnp.where(both,
+                    jnp.arange(n_nodes)[:, None, None], n_nodes)
+    return jnp.min(idx, axis=0).astype(jnp.int32)
 
 
 def _mrca_table(child_np, n):

@@ -408,16 +408,12 @@ def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
             starts = [topo]
 
         def _one(topo0, kind, params0):
-            if kind == "SPR":
-                return spr_search(
-                    engine, model, params0, topo0,
-                    opt_params=opt_rates, seed=seed,
-                    verbose=not args.quiet, trace=trace,
-                    accept_topo=accept_topo)
-            return nni_search(
+            from phyml_tpu.search.driver import ml_search
+            return ml_search(
                 engine, model, params0, topo0,
-                opt_params=opt_rates, verbose=not args.quiet,
-                trace=trace, accept_topo=accept_topo)
+                kind=kind.lower(), retries=2, opt_params=opt_rates,
+                seed=seed, verbose=not args.quiet, trace=trace,
+                accept_topo=accept_topo)
 
         best = None
         for si, topo0 in enumerate(starts):

@@ -45,6 +45,13 @@ def parse_xml(path: str) -> dict:
         "lineagerates": None,
         "clockrate": {},
         "coordinates": None,
+        # reference default when <spatialmodel> is absent: the SLFV
+        # Gaussian event-disk model (init.c:6097), NOT the RRW
+        "spatialmodel": "slfv",
+        # root attribute mutmap="yes": write sampled substitution
+        # histories (phyrex.c mutmap path -> ancestral.c:411)
+        "mutmap": root.get("mutmap", "no").lower()
+        in ("yes", "true", "1"),
         "topology": {},
         "ratematrices": {},
         "siterates": {},
@@ -73,6 +80,23 @@ def parse_xml(path: str) -> dict:
         # reference default when <lineagerates> is absent: the
         # Guindon geometric-Brownian clock (date.c:129-135)
         cfg["lineagerates"] = "guindon"
+
+    sm = root.find("spatialmodel")
+    if sm is not None:
+        name = (sm.get("name") or "slfv").lower()
+        # reference name table (phyrex.c:320-331); the rrw variants
+        # and the integrated models map onto bayes.traits kinds
+        sm_aliases = {
+            "slfv": "slfv", "rw": "rw",
+            "rrw+gamma": "rrw", "rrw+lognormal": "rrw",
+            "ibm": "ibm", "ribm": "ibm",
+            "iwn": "iwn", "riwn": "iwn",
+            "iwnu": "iwn", "riwnu": "iwn",
+            "iou": "iou",
+        }
+        if name not in sm_aliases:
+            raise ValueError(f"unknown spatial model {name!r}")
+        cfg["spatialmodel"] = sm_aliases[name]
     cr = root.find("clockrate")
     if cr is not None:
         cfg["clockrate"] = {
@@ -406,7 +430,8 @@ def _run_xml_bayes(path: str, cfg: dict, quiet: bool,
         from phyml_tpu.bayes.phyrex import print_summary, run_phyrex
         coords = read_coordinates(cfg["coordinates"], list(aln.names))
         res = run_phyrex(
-            aln, coords, tt, model=model, trait_kind="rrw",
+            aln, coords, tt, model=model,
+            trait_kind=cfg["spatialmodel"],
             rate_kind=rate_kind, settings=settings,
             trace_path=trace_path, verbose=not quiet,
             sample_topology=sample_topo,
@@ -424,10 +449,51 @@ def _run_xml_bayes(path: str, cfg: dict, quiet: bool,
         print_summary(res, out=fh)
     with open(prefix + "_chronogram.txt", "w") as fh:
         fh.write(res.tree.to_newick() + "\n")
+    if cfg.get("mutmap"):
+        _write_mutmap(prefix + "_phyml_mutmap.txt", engine, params,
+                      res, cfg["r_seed"])
+        if not quiet:
+            print(f". Mutation map written to "
+                  f"{prefix}_phyml_mutmap.txt")
     if not quiet:
         print_summary(res)
         print(f". Trace written to {trace_path}")
     return 0
+
+
+def _write_mutmap(path: str, engine, params, res, seed: int) -> None:
+    """Sampled substitution histories on the posterior tree (the
+    reference's mutmap output: phyrex.c mutmap path feeding
+    Sample_Ancestral_Seq / ancestral.c:411).  One joint draw of
+    (rate classes, ancestral states), then endpoint-conditioned
+    path sampling per (edge, site)."""
+    import jax
+    import jax.numpy as jnp
+
+    from phyml_tpu.ops.ancestral import map_mutations, sample_ancestral
+    from phyml_tpu.ops.likelihood import TreeArrays
+
+    tt = res.tree
+    par = np.asarray(tt.parent)
+    heights = np.asarray(tt.heights)
+    clock = float(res.summary.get("clock_rate", 1.0))
+    dt = np.where(par != np.arange(tt.n_nodes),
+                  heights[par] - heights, 0.0)
+    blen = np.maximum(clock * dt, 0.0)
+    tree = TreeArrays(
+        child=jnp.asarray(tt.child, dtype=jnp.int32),
+        blen=jnp.asarray(blen, dtype=engine.dtype))
+    classes, states = sample_ancestral(
+        engine, params, tree, jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed + 31)
+    events = map_mutations(engine, params, tree,
+                           np.asarray(classes), np.asarray(states),
+                           rng)
+    with open(path, "w") as fh:
+        fh.write("# sampled substitution history "
+                 "(node, site, time_from_parent, from, to)\n")
+        for (u, p, t, s_from, s_to) in events:
+            fh.write(f"{u}\t{p}\t{t:.6g}\t{s_from}\t{s_to}\n")
 
 
 def _run_xml_partitioned(path: str, cfg: dict, t0: float,

@@ -346,3 +346,55 @@ def _sample_path(Q, jump, sa, sd, T, rng):
         traj.append((t, s, s_new))
         s = s_new
     return traj if s == sd else None
+
+
+def m4_class_posteriors(eng: LikelihoodEngine, params,
+                        tree: TreeArrays,
+                        include_root: bool = True) -> np.ndarray:
+    """Per-site posterior of the M4 hidden rate class at every
+    internal node (the covarion decode report,
+    M4_Post_Prob_H_Class_Edge_Site m4.c:679): the expanded-state
+    marginals summed over the observed states within each hidden
+    class.  Returns [n_internal(, -1 if not include_root), P,
+    n_hidden], rows ordered by rooted internal index."""
+    model = eng.model
+    if not getattr(model, "covarion", False):
+        raise ValueError("m4_class_posteriors needs a covarion (M4) "
+                         "model")
+    probs = np.asarray(marginal_posteriors(eng, params, tree,
+                                           include_root=include_root))
+    n_h = model.n_hidden
+    obs = eng.ns // n_h
+    # expanded state index = h * obs_ns + o (tips are tiled with the
+    # hidden class as the major axis, likelihood.py engine init)
+    out = probs.reshape(probs.shape[0], probs.shape[1], n_h, obs)
+    return out.sum(axis=3)
+
+
+def write_m4_decode(path: str, eng: LikelihoodEngine, params,
+                    tree: TreeArrays) -> None:
+    """Site-wise hidden-class decode report (≙ the reference's
+    M4_Compute_Posterior_Mean_Rates output, m4.c:807): for every
+    SITE, the posterior hidden-class frequencies averaged over
+    internal nodes and at the root, plus the MAP class."""
+    post = m4_class_posteriors(eng, params, tree)   # [I, P, H]
+    site_post = post.mean(axis=0)                   # [P, H]
+    root_post = post[-1]                            # [P, H]
+    s2p = eng.aln.site_to_pattern
+    n_h = site_post.shape[1]
+    with open(path, "w") as fh:
+        fh.write("# M4 hidden-rate-class posterior decode "
+                 "(per site)\n")
+        fh.write("# site\tMAP_class\t"
+                 + "\t".join(f"mean_P(class{j})"
+                             for j in range(n_h))
+                 + "\t"
+                 + "\t".join(f"root_P(class{j})"
+                             for j in range(n_h))
+                 + "\n")
+        for s, p in enumerate(s2p):
+            mp = site_post[p]
+            rp = root_post[p]
+            fh.write(f"{s + 1}\t{int(np.argmax(mp))}\t"
+                     + "\t".join(f"{x:.4f}" for x in mp) + "\t"
+                     + "\t".join(f"{x:.4f}" for x in rp) + "\n")

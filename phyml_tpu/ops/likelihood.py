@@ -107,7 +107,7 @@ class LikelihoodEngine:
         if use_pallas is None:
             use_pallas = (jax.default_backend() == "tpu"
                           and dtype == jnp.float32)
-        tile = tile_size(self.n_nodes, self.C, self.ns)
+        tile = tile_size(self.n_nodes, self.C, self.ns, self.n_otu)
         self.pallas_tile = tile if (use_pallas and tile >= 128) else 0
         # off-TPU the kernel runs in interpret mode (tests force
         # use_pallas=True on the virtual CPU mesh)

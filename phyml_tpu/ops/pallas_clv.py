@@ -47,9 +47,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for the scratch buffers (per-core VMEM is ~16 MB less
-# compiler overheads; leave room for the P-matrix operand + pipeline).
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Whole-kernel VMEM budget: per-core VMEM is 16 MB; leave headroom
+# for compiler overheads.  tile_size charges the scratch buffers PLUS
+# the double-buffered operands (P-matrices, tip tile, output) against
+# it — budgeting scratch alone overflowed VMEM by ~4 MB on 37-taxon
+# AA mixtures (measured r4: 20.2 MB against the 16 MB limit).
+_VMEM_BUDGET = 12 * 1024 * 1024
 _LANE = 128
 
 
@@ -152,13 +155,21 @@ def _uppass_kernel(child_ref, tips_ref, pmats_ref, pi_ref, logw_ref,
         jnp.sum(jnp.exp(a - amax), axis=0, keepdims=True))
 
 
-def tile_size(n_nodes: int, C: int, ns: int,
+def tile_size(n_nodes: int, C: int, ns: int, n_otu: int | None = None,
               budget: int = _VMEM_BUDGET) -> int:
-    """Largest lane-aligned tile whose scratch fits the VMEM budget,
-    or 0 if even a 128-pattern tile does not fit (caller falls back to
-    the lax.scan path)."""
-    bytes_per_col = n_nodes * C * (ns + 1) * 4
-    t = (budget // bytes_per_col) // _LANE * _LANE
+    """Largest lane-aligned tile such that scratch + double-buffered
+    operands fit the VMEM budget, or 0 if even a 128-pattern tile does
+    not fit (caller falls back to the lax.scan path)."""
+    if n_otu is None:
+        n_otu = (n_nodes + 1) // 2
+    pmats_bytes = n_nodes * C * ns * ns * 4 * 2      # double-buffered
+    bytes_per_col = (n_nodes * C * (ns + 1) * 4      # pup + sc scratch
+                     + n_otu * ns * 4 * 2            # tip tile, 2x
+                     + 4 * 2)                        # output row, 2x
+    avail = budget - pmats_bytes
+    if avail <= 0:
+        return 0
+    t = (avail // bytes_per_col) // _LANE * _LANE
     return min(int(t), 2048)
 
 

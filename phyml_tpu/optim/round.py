@@ -244,8 +244,8 @@ def _make_scalar_optimizer(engine, slot_sig, grid, zooms):
 
 
 def optimize_scalars(engine, model, params, tree, lnl0=None,
-                     brent_tol: float = 1e-3, weights=None,
-                     grid: int = 12, zooms: int = 12):
+                     brent_tol: float = 1e-4, weights=None,
+                     grid: int = 12, zooms: int = 16):
     """Joint line search over ALL free scalars; returns (params, lnL).
 
     Every slot's `grid` candidate values are scored by one vmapped

@@ -12,7 +12,9 @@ import numpy as np
 from phyml_tpu.ops.likelihood import tree_arrays
 from phyml_tpu.optim.round import optimize_scalars, round_optimize
 from phyml_tpu.search.nni import nni_round
-from phyml_tpu.search.spr import spr_round
+from phyml_tpu.search.spr import (
+    apply_spr, prune_candidates, spr_move_arrays, spr_round,
+)
 
 
 def nni_search(
@@ -28,11 +30,21 @@ def nni_search(
     weights=None,
     trace=None,
     accept_topo=None,
+    spr_escape: bool = True,
 ):
     """NNI topology search with interleaved parameter optimization.
     Returns (topo, params, lnL).  accept_topo: optional topology
-    predicate (constraint search, --constraint_file)."""
+    predicate (constraint search, --constraint_file).
+
+    spr_escape: when the NNI neighborhood is exhausted, try single
+    one-move-at-a-time SPR sweeps to hop NNI-local optima.  The
+    reference's NNI mode has comparable escape power built into
+    Simu_Loop (simu.c:22: simultaneous lambda-damped swap sets with
+    backtracking, five-branch optimization); a plain best-swap NNI
+    measurably stalls ~2.4 lnL short of it on examples/proteic."""
     lnl = -np.inf
+    escapes_left = 8
+    rng_esc = np.random.default_rng(17)
     for outer in range(max_outer):
         # inner NNI loop until no improving swap
         for _ in range(max_inner):
@@ -56,6 +68,19 @@ def nni_search(
             if verbose:
                 print(f"  params: lnL {lnl_new:.5f}")
         if lnl_new - lnl < tol:
+            if spr_escape and escapes_left > 0:
+                escapes_left -= 1
+                topo2, lnl_esc, n_esc = spr_round(
+                    engine, params, topo, rng=rng_esc,
+                    weights=weights, accept_topo=accept_topo,
+                    max_apply=1)
+                if n_esc and lnl_esc > lnl_new:
+                    topo, lnl = topo2, lnl_esc
+                    if verbose:
+                        print(f"  spr escape: lnL {lnl_esc:.5f}")
+                    if trace is not None:
+                        trace.snapshot(topo, lnl_esc)
+                    continue
             lnl = max(lnl, lnl_new)
             break
         lnl = lnl_new
@@ -117,14 +142,26 @@ def spr_search(
                 # reference's semantics, spr.c:1380); a single
                 # batch_k=1 sweep recovers it
                 fine_done = True
-                topo, lnl_fine, n_fine = spr_round(
-                    engine, params, topo, rng=rng, weights=weights,
-                    accept_topo=accept_topo, batch_k=1,
-                )
+                # max_apply=1 gives one-move-at-a-time application
+                # (the reference's spr.c:1380 semantics) at batched
+                # scoring cost: with the default batch_k one dispatch
+                # scores every candidate, vs ~n_candidates dispatches
+                # for batch_k=1 (~12 s of pure host sync per sweep on
+                # the tunneled TPU); loop until no move improves
+                n_fine_total = 0
+                for _ in range(12):
+                    topo, lnl_fine, n_fine = spr_round(
+                        engine, params, topo, rng=rng,
+                        weights=weights, accept_topo=accept_topo,
+                        max_apply=1,
+                    )
+                    n_fine_total += n_fine
+                    if n_fine == 0:
+                        break
                 if verbose:
                     print(f"  spr fine: lnL {lnl_fine:.5f} "
-                          f"({n_fine} moves)")
-                if n_fine:
+                          f"({n_fine_total} moves)")
+                if n_fine_total:
                     lnl = lnl_fine
                     continue
             lnl = max(lnl, lnl_new)
@@ -136,3 +173,129 @@ def spr_search(
         opt_params=opt_params, verbose=verbose, weights=weights,
         trace=trace, accept_topo=accept_topo,
     )
+
+
+def perturb_topology(topo, rng, k: int = 3):
+    """Apply k random SPR moves (random prune subtree, random valid
+    regraft target, lengths split in half) — the perturbation step of
+    the iterated search below.  Equivalent in role to the reference's
+    random-tree restarts (--rand_start), but local: a few moves keep
+    most of the converged structure."""
+    topo = topo.copy()
+    for _ in range(k):
+        rv = topo.rooted()
+        cands = [v for v in prune_candidates(rv)
+                 if int(rv.parent[v]) != rv.n_nodes - 1]
+        if not cands:
+            break
+        v = int(rng.choice(cands))
+        _, valid = spr_move_arrays(rv, v)
+        u = int(rv.parent[v])
+        s_row = rv.child[u - rv.n_otu]
+        sib = int(s_row[1] if int(s_row[0]) == v else s_row[0])
+        link_edges = {int(rv.node_to_edge[u]),
+                      int(rv.node_to_edge[sib])}
+        targets = [t for t in range(rv.n_nodes)
+                   if valid[t]
+                   and int(rv.node_to_edge[t]) not in link_edges]
+        if not targets:
+            continue
+        t = int(rng.choice(targets))
+        t_e = float(topo.blen[int(rv.node_to_edge[t])])
+        t_p = float(rv.node_blen[v])
+        try:
+            topo = apply_spr(topo, rv, v, t, t_e / 2, t_e / 2, t_p)
+        except (ValueError, AssertionError):
+            continue
+    return topo
+
+
+def ml_search(
+    engine,
+    model,
+    params,
+    topo,
+    kind: str = "spr",
+    retries: int = 4,
+    perturb_k: int = 3,
+    opt_params: bool = True,
+    seed: int = 0,
+    verbose: bool = False,
+    weights=None,
+    trace=None,
+    accept_topo=None,
+):
+    """Iterated hill-climb: run the chosen search, then retry from
+    small random perturbations of the best tree, keeping the best
+    final state (ratchet-style).  The ML landscape on real data has
+    tight multi-move traps — on examples/proteic 2 of 3 random SPR
+    orders stall 2.4 lnL short of the optimum a third one reaches —
+    and single-trajectory searches (including the reference's,
+    spr.c:764) are seed-lucky.  Returns (topo, params, lnL)."""
+    search = spr_search if kind.lower() == "spr" else nni_search
+
+    def run(p0, t0, s, opt_p):
+        kw = dict(opt_params=opt_p, verbose=verbose, weights=weights,
+                  trace=trace, accept_topo=accept_topo)
+        if search is spr_search:
+            return search(engine, model, dict(p0), t0, seed=s, **kw)
+        return search(engine, model, dict(p0), t0, **kw)
+
+    from phyml_tpu.optim.blen import optimize_branch_lengths
+
+    def probe(p0, t0, s):
+        """Raw SPR sweeps + branch lengths with parameters FROZEN at
+        the incumbent's (already near-optimal) values: a fair
+        comparison against the incumbent at the same parameters, at a
+        fraction of a full search's cost."""
+        rng_p = np.random.default_rng(s)
+        t = t0
+        # coarse min_gain: the probe only needs to find its way back
+        # to (or past) the incumbent's basin, not to polish — chasing
+        # sub-0.05 gains here doubles the sweep count for nothing
+        for _ in range(4):
+            t, lnl_p, n_p = spr_round(engine, p0, t, rng=rng_p,
+                                      weights=weights,
+                                      accept_topo=accept_topo,
+                                      min_gain=0.05)
+            if n_p == 0:
+                break
+        ta_p, lnl_p = optimize_branch_lengths(
+            engine, p0, tree_arrays(t.rooted(), dtype=engine.dtype),
+            weights=weights)
+        t.set_blen_from_rooted(t.rooted(), np.asarray(ta_p.blen))
+        return t, dict(p0), float(lnl_p)
+
+    best = run(params, topo.copy(), seed, opt_params)
+    rng = np.random.default_rng(seed + 99991)
+    for r in range(retries):
+        t0 = perturb_topology(best[0], rng, k=perturb_k)
+        cand = probe(best[1], t0, seed + 7 * (r + 1))
+        # a probe must win by a meaningful margin: blen-tolerance
+        # noise (~1e-3) would otherwise trigger the expensive full
+        # re-optimization on every retry
+        if cand[2] > best[2] + 0.01:
+            if opt_params:
+                p2, ta2, lnl2 = round_optimize(
+                    engine, model, dict(best[1]),
+                    tree_arrays(cand[0].rooted(),
+                                dtype=engine.dtype),
+                    weights=weights)
+                cand[0].set_blen_from_rooted(cand[0].rooted(),
+                                             np.asarray(ta2.blen))
+                cand = (cand[0], p2, lnl2)
+            if verbose:
+                print(f"  retry {r + 1}: improved "
+                      f"{best[2]:.5f} -> {cand[2]:.5f}")
+            if cand[2] > best[2]:
+                best = cand
+        else:
+            if verbose:
+                print(f"  retry {r + 1}: no improvement "
+                      f"({cand[2]:.5f} <= {best[2]:.5f})")
+            # adaptive stop: a failed probe from the incumbent's
+            # neighborhood is evidence it is a solid optimum; keep
+            # probing only while probes keep winning (retries caps
+            # the total)
+            break
+    return best

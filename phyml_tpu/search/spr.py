@@ -349,9 +349,25 @@ def spr_round(
     ta = tree_arrays(rv, dtype=engine.dtype)
     lnl_cur = float(engine.loglik(params, ta, weights))
     if batch_k is None:
+        # each dispatch costs a ~40-120 ms host round-trip on a
+        # remote-attached TPU, so pack as many prune candidates per
+        # dispatch as HBM allows: ~10 [n_nodes, C, ns, P] temporaries
+        # live per candidate in the vmapped masked scorer.  Round to
+        # a multiple of 32 so the padded batch shape (and hence the
+        # compiled program) is stable across sweeps.
         per_cand = engine.n_nodes * engine.C * engine.ns * \
-            engine.P * 4 * 8
-        batch_k = int(max(1, min(16, (512 << 20) // max(per_cand, 1))))
+            engine.P * 4 * 10
+        mem_k = (4 << 30) // max(per_cand, 1)
+        want_k = len(prune_candidates(rv))
+        batch_k = int(max(1, min(mem_k, 128,
+                                 -(-want_k // 32) * 32)))
+    if max_apply is None:
+        # applying every footprint-disjoint improving move of a big
+        # block is too greedy (all were scored against the pre-block
+        # tree): cap the applies per block and let the outer sweep
+        # loop rescore — measured on nucleic GTR+G4 this recovers the
+        # serial path's final lnL at ~1 extra dispatch per sweep
+        max_apply = 8
     order = [int(x) for x in rng.permutation(prune_candidates(rv))]
     pos = 0
     while pos < len(order):

@@ -569,3 +569,74 @@ def test_mcmc_checkpoint_resume(tmp_path):
     assert trace2.shape[0] == 100          # only the remaining 100
     lnL_re = float(m2._lnL(st2))
     assert float(st2.lnL) == pytest.approx(lnL_re, abs=1e-6)
+
+
+@pytest.mark.slow
+def test_phytime_mixing_ess(tmp_path):
+    """ESS/1000 iterations on the shipped phytime example (VERDICT r3
+    #5: >= 2x round 3's mixing).  Round-3 baselines, measured with
+    the identical protocol (4000 iters, burnin 1000, seed 1):
+    posterior 0.85, lnL 0.89, root_height 1.21, log_clock 1.50.
+    The r4 move additions (updown_root_clock, rate_exchange,
+    nu_rates_updown, height_jitter; mcmc.c:6591-6668 is the model)
+    plus retuned weights lift these to ~2.2-3.0; thresholds sit
+    between so a mixing regression fails and seed noise does not."""
+    import numpy as np
+
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.date import run_phytime
+    from phyml_tpu.bayes.diagnostics import ess_report
+    from phyml_tpu.bayes.mcmc import MCMCSettings
+    from phyml_tpu.io.alignment import read_alignment
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.optim.blen import optimize_branch_lengths
+    from phyml_tpu.search.bionj import bionj_start
+
+    aln = read_alignment("/root/reference/examples/phytime/seq.txt",
+                         datatype="nt")
+    model = SubstModel(datatype="nt", name="HKY85", n_classes=4)
+    eng = LikelihoodEngine(aln, model)
+    p = model.init_params(aln.obs_state_freqs)
+    topo = bionj_start(eng, p)
+    ta = tree_arrays(topo.rooted(), dtype=eng.dtype)
+    ta, _ = optimize_branch_lengths(eng, p, ta)
+    topo.set_blen_from_rooted(topo.rooted(), np.asarray(ta.blen))
+    tt = TimeTree.from_topology(topo, names=list(aln.names))
+    res = run_phytime(
+        aln, tt, model=model, rate_kind="lognormal",
+        settings=MCMCSettings(n_iter=4000, burnin=1000, thin=1,
+                              seed=1))
+    ess = {k: v / 4.0
+           for k, v in ess_report(res.trace,
+                                  burnin_rows=1000).items()}
+    assert ess["lnL"] >= 1.5, ess          # r3: 0.89
+    assert ess["posterior"] >= 1.5, ess    # r3: 0.85
+    assert ess["log_clock"] >= 2.2, ess    # r3: 1.50
+    assert ess["root_height"] >= 1.8, ess  # r3: 1.21
+
+
+def test_phytime_xml_mutmap(tmp_path):
+    """mutmap="yes" on the XML root writes sampled substitution
+    histories (the reference's mutmap path: phyrex.c ->
+    ancestral.c:411; VERDICT r3 #9)."""
+    import shutil
+    from phyml_tpu.io.xmlcfg import run_xml
+
+    d = tmp_path / "pt"
+    shutil.copytree("/root/reference/examples/phytime", d)
+    xml = (d / "dating_example.xml").read_text()
+    xml = xml.replace('mutmap="no"', 'mutmap="yes"', 1)
+    (d / "dating_example.xml").write_text(xml)
+    rc = run_xml(str(d / "dating_example.xml"), quiet=True,
+                 mcmc_iter_cap=60)
+    assert rc == 0
+    mm = d / "out_example_phyml_mutmap.txt"
+    assert mm.exists()
+    lines = mm.read_text().strip().splitlines()
+    assert lines[0].startswith("#")
+    # at least some substitutions sampled on a real dataset
+    assert len(lines) > 10
+    u, p, t, s_from, s_to = lines[1].split("\t")
+    assert int(s_from) != int(s_to)
+    assert float(t) >= 0

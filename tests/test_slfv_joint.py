@@ -1,0 +1,148 @@
+"""Joint trans-dimensional SLFV MCMC (VERDICT r3 missing #1).
+
+The r3 sampler froze the augmented state; these tests exercise the
+full PHYREX-style move family (phyrex.c:1234 PHYREX_MCMC, the
+MCMC_PHYREX_* moves of mcmc.c): disk indels, hit indels, center/
+location/time moves, genealogy exchange, time scaling — jointly with
+(lbda, mu, rad).
+"""
+
+import numpy as np
+import pytest
+
+from phyml_tpu.bayes.slfv import (
+    SLFVJointSampler,
+    SLFVParams,
+    _loglik_np,
+    simulate_slfv,
+    slfv_loglik,
+    state_from_timetree,
+    state_to_timetree,
+)
+
+TRUE = SLFVParams(lbda=0.8, mu=0.7, rad=1.2,
+                  lim_lo=(0.0, 0.0), lim_up=(6.0, 6.0))
+
+
+@pytest.fixture(scope="module")
+def sim_state():
+    rng = np.random.default_rng(4)
+    return simulate_slfv(10, TRUE, rng)
+
+
+def _check_invariants(s):
+    # hit-disk times track their node heights
+    hs = s.hit[s.hit >= 0]
+    assert np.all(s.h_disk[s.hit >= 0] == s.h_node[hs])
+    # every tip has a parent; unique root; child younger than parent
+    assert (s.parent[:s.n_otu] >= 0).all()
+    assert int(np.sum(s.parent < 0)) == 1
+    for m in range(s.n_ldsk):
+        if s.parent[m] >= 0:
+            assert s.h_node[m] < s.h_node[s.parent[m]] + 1e-12
+    # every internal node has >= 1 child and a disk
+    counts = np.bincount(s.parent[s.parent >= 0],
+                         minlength=s.n_ldsk)
+    for m in range(s.n_otu, s.n_ldsk):
+        assert counts[m] >= 1
+        assert np.sum(s.hit == m) == 1
+
+
+def test_np_density_matches_jnp(sim_state):
+    l_np = _loglik_np(sim_state, TRUE)
+    l_jnp = float(slfv_loglik(sim_state, TRUE))
+    assert abs(l_np - l_jnp) < 1e-6
+
+
+def test_joint_sampler_moves_and_invariants(sim_state):
+    """Every move family must fire and accept, the augmented state
+    must change dimension (disks inserted/deleted), and structural
+    invariants must hold throughout."""
+    smp = SLFVJointSampler(sim_state, TRUE, seed=1)
+    n_disks_seen = set()
+    for _ in range(40):
+        for _ in range(10):
+            smp.sweep()
+        _check_invariants(smp.state)
+        n_disks_seen.add(smp.state.n_disks)
+    assert np.isfinite(smp.lp)
+    # trans-dimensional: the disk count must actually move
+    assert len(n_disks_seen) > 3
+    for mv in ("param", "centr", "ldsk", "etime", "ntime",
+               "indel_disk", "indel_hit", "scale"):
+        assert smp.accepts[mv] > 0, f"move {mv} never accepted"
+    assert smp.tries["exchange"] > 0
+    # the sampled state still collapses to a valid binary time tree
+    tt = state_to_timetree(smp.state)
+    assert tt.heights.max() > 0
+    assert tt.child.shape == (sim_state.n_otu - 1, 2)
+
+
+def test_parameter_recovery_with_sampled_state(sim_state):
+    """Recover (lbda, mu, rad) from simulated data with the augmented
+    state SAMPLED (not frozen) — the r3 verdict's 'done' criterion.
+    Tip locations alone identify the parameters only weakly, so the
+    bounds are broad factors around the truth."""
+    smp = SLFVJointSampler(sim_state, SLFVParams(
+        lbda=0.3, mu=0.4, rad=2.5,
+        lim_lo=TRUE.lim_lo, lim_up=TRUE.lim_up), seed=3)
+    tr = smp.run(n_sweeps=1500, thin=5)
+    post = tr[tr.shape[0] // 3:]           # drop burn-in
+    lbda_m = float(np.mean(post[:, 1]))
+    rad_m = float(np.mean(post[:, 3]))
+    assert TRUE.lbda / 4 < lbda_m < TRUE.lbda * 4, lbda_m
+    assert TRUE.rad / 4 < rad_m < TRUE.rad * 4, rad_m
+    mu_m = float(np.mean(post[:, 2]))
+    assert 0.05 < mu_m <= 1.0, mu_m
+
+
+def test_seq_coupled_sampler():
+    """With a sequence likelihood attached, genealogy/time moves are
+    accepted against the joint posterior and the strict clock is
+    sampled (the full PhyREX coupling)."""
+    import jax
+    import jax.numpy as jnp
+
+    from phyml_tpu import datatypes
+    from phyml_tpu.bayes.slfv import make_seq_loglik_fn
+    from phyml_tpu.evolve import simulate_alignment
+    from phyml_tpu.io.alignment import compact
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine
+    from phyml_tpu.topology import Topology
+
+    rng = np.random.default_rng(11)
+    st = simulate_slfv(8, TRUE, rng)
+    tt = state_to_timetree(st)
+    clock_true = 0.02
+    topo = Topology.from_newick(tt.to_newick(), tt.names)
+    topo.blen *= clock_true
+    m = SubstModel(datatype="nt", name="HKY85", n_classes=1)
+    names, seqs = simulate_alignment(topo, m,
+                                     m.init_params(np.ones(4) / 4),
+                                     300, rng)
+    aln = compact(datatypes.encode_sequences(seqs, "nt"), names, "nt")
+    eng = LikelihoodEngine(aln, m, dtype=jnp.float64)
+    params = m.init_params(aln.obs_state_freqs)
+
+    seq_fn = make_seq_loglik_fn(eng, params)
+    smp = SLFVJointSampler(st, TRUE, seed=2, seq_fn=seq_fn,
+                           clock0=clock_true)
+    smp.run(n_sweeps=120, thin=10)
+    _check_invariants(smp.state)
+    assert np.isfinite(smp.lp)
+    assert smp.accepts["clock"] > 0
+    # the clock should stay in the right decade around the truth
+    assert clock_true / 5 < smp.clock < clock_true * 5
+
+
+def test_state_from_timetree_roundtrip(sim_state):
+    """state_from_timetree builds a valid augmented state from a
+    binary TimeTree + coordinates (the SLFV-mode initialization)."""
+    tt = state_to_timetree(sim_state)
+    coords = sim_state.coord[:sim_state.n_otu]
+    st = state_from_timetree(tt, coords)
+    _check_invariants(st)
+    lim = SLFVParams(lbda=1.0, mu=0.5, rad=1.5,
+                     lim_lo=(-20.0, -20.0), lim_up=(26.0, 26.0))
+    assert np.isfinite(_loglik_np(st, lim))
