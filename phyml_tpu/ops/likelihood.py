@@ -68,9 +68,23 @@ class Partials(NamedTuple):
     sc_out: jnp.ndarray  # [n_nodes, C, P]
 
 
+# host-side child tables, keyed by the DEVICE array's id: the slot
+# kernel needs the concrete topology to build its schedule, and a
+# device->host read-back of the child array would both cost a full
+# sync AND permanently degrade every subsequent dispatch on the
+# remote-attached TPU runtime (measured r4: ~0.03 ms -> ~1.2 ms per
+# dispatch, irreversible for the process).  Entries hold a strong
+# reference to the device array so ids cannot be reused.
+_HOST_CHILD: dict = {}
+
+
 def tree_arrays(rv, dtype=jnp.float32) -> TreeArrays:
+    child = jnp.asarray(rv.child, dtype=jnp.int32)
+    if len(_HOST_CHILD) > 4096:
+        _HOST_CHILD.clear()
+    _HOST_CHILD[id(child)] = (child, np.asarray(rv.child))
     return TreeArrays(
-        child=jnp.asarray(rv.child, dtype=jnp.int32),
+        child=child,
         blen=jnp.asarray(rv.node_blen, dtype=dtype),
     )
 
@@ -109,6 +123,19 @@ class LikelihoodEngine:
                           and dtype == jnp.float32)
         tile = tile_size(self.n_nodes, self.C, self.ns, self.n_otu)
         self.pallas_tile = tile if (use_pallas and tile >= 128) else 0
+        # Slot-allocated kernel (ops/pallas_clv_slots.py): O(log n)
+        # scratch instead of O(n_nodes) — bigger tiles on every
+        # problem and no scale cliff.  It needs a host-built schedule
+        # per topology, so it serves the HOST entry points (loglik /
+        # site_logliks); traced-topology callers (search scorers,
+        # vmapped batch evals) keep the dense kernel or the scan.
+        from phyml_tpu.ops.pallas_clv_slots import slot_tile_size
+        self.slot_count = int(math.ceil(
+            math.log2(max(self.n_otu, 2)))) + 2
+        st = slot_tile_size(self.n_otu, self.slot_count, self.C,
+                            self.ns)
+        self.slot_tile = st if (use_pallas and st >= 128) else 0
+        self._sched_cache: dict = {}
         # off-TPU the kernel runs in interpret mode (tests force
         # use_pallas=True on the virtual CPU mesh)
         self.pallas_interpret = bool(self.pallas_tile) and \
@@ -119,11 +146,24 @@ class LikelihoodEngine:
         self._shard_axis = None
 
         P_raw = aln.n_patterns
-        quantum = max(pattern_pad, self.pallas_tile)
+        quantum = pattern_pad
         self.P = max(quantum, int(
             math.ceil(P_raw / quantum) * quantum
         ))
         pad = self.P - P_raw
+        # both kernel tiles must divide the padded pattern count;
+        # padding to the lane quantum (not to a tile) keeps P minimal
+        # and lets the slot kernel pick its largest fitting tile
+        # (e.g. P=4096 -> T=2048 instead of P=4224 -> T=1408)
+        while self.pallas_tile and self.P % self.pallas_tile:
+            self.pallas_tile -= 128
+        if self.pallas_tile < 128:
+            self.pallas_tile = 0
+        while self.slot_tile and self.P % self.slot_tile:
+            self.slot_tile -= 128
+        if self.slot_tile < 128:
+            self.slot_tile = 0
+        self._interp = jax.default_backend() != "tpu"
 
         tips = np.transpose(aln.partials, (0, 2, 1))  # [n_otu, ns, P_raw]
         tips = np.pad(tips, ((0, 0), (0, 0), (0, pad)),
@@ -220,11 +260,85 @@ class LikelihoodEngine:
     def invalidate_system_cache(self):
         self._sys_cache = None
 
+    def _slot_sched(self, child):
+        """Per-topology slot schedule (host-built; see
+        pallas_clv_slots.build_slot_schedule).  Cached FIRST by the
+        child array's object identity — np.asarray(child) costs a
+        full device->host sync (~40 ms on a remote-attached TPU), so
+        repeated evaluations of the same TreeArrays must not pay it —
+        then by the topology bytes.  The identity entries keep strong
+        references to the child arrays so ids cannot be reused."""
+        from phyml_tpu.ops.pallas_clv_slots import build_slot_schedule
+        hit = self._sched_cache.get(id(child))
+        if hit is not None:
+            return hit[1]
+        host = _HOST_CHILD.get(id(child))
+        if host is None:
+            # child did not come through tree_arrays (e.g. built
+            # inside another trace): reading it back from the device
+            # would poison the dispatch path — caller must fall back
+            return None
+        child_np = host[1]
+        sched, n_slots = build_slot_schedule(self.n_otu, child_np)
+        assert n_slots <= self.slot_count, (n_slots, self.slot_count)
+        sched = jnp.asarray(sched)
+        if len(self._sched_cache) > 1024:
+            self._sched_cache.clear()
+        self._sched_cache[id(child)] = (child, sched)
+        return sched
+
+    def _site_logliks_slots(self, sys, tree, sched):
+        from phyml_tpu.ops.pallas_clv_slots import uppass_site_lse_slots
+        lam, V, Vinv, pi, w, pinv = sys
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        lse = uppass_site_lse_slots(
+            sched, self.tips, pmats, pi,
+            jnp.log(jnp.maximum(w, self._tiny)),
+            n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
+            ns=self.ns, n_slots=self.slot_count, T=self.slot_tile,
+            interpret=self._interp,
+        ).astype(self.dtype)
+        return self._mix_invar(lse, pi, w, pinv)
+
+    @property
+    def _jit_loglik_slots(self):
+        fn = getattr(self, "_jit_loglik_slots_", None)
+        if fn is None:
+            def f(sys, tree, sched, weights):
+                site = self._site_logliks_slots(sys, tree, sched)
+                return jnp.sum(site.astype(jnp.float64) * weights)
+            fn = jax.jit(self.bind_data(f))
+            self._jit_loglik_slots_ = fn
+        return fn
+
+    @property
+    def _jit_site_logliks_slots(self):
+        fn = getattr(self, "_jit_site_logliks_slots_", None)
+        if fn is None:
+            fn = jax.jit(self.bind_data(self._site_logliks_slots))
+            self._jit_site_logliks_slots_ = fn
+        return fn
+
     def loglik(self, params, tree, weights=None):
+        # slot path: beyond the dense kernel's scale ceiling only
+        # (where it fits, the dense kernel measures equal-or-faster)
+        if self.slot_tile and not self.pallas_tile \
+                and self._mesh is None:
+            sched = self._slot_sched(tree.child)
+            if sched is not None:
+                return self._jit_loglik_slots(
+                    self.data(), self.system_of(params), tree,
+                    sched, self._w(weights))
         return self._jit_loglik_sys(self.data(), self.system_of(params),
                                     tree, self._w(weights))
 
     def site_logliks(self, params, tree):
+        if self.slot_tile and not self.pallas_tile \
+                and self._mesh is None:
+            sched = self._slot_sched(tree.child)
+            if sched is not None:
+                return self._jit_site_logliks_slots(
+                    self.data(), self.system_of(params), tree, sched)
         return self._jit_site_logliks_sys(self.data(),
                                           self.system_of(params), tree)
 

@@ -130,7 +130,10 @@ def slot_tile_size(n_otu: int, n_slots: int, C: int, ns: int,
     if avail <= 0:
         return 0
     t = (avail // per_col) // _LANE * _LANE
-    return min(int(t), 2048)
+    # cap at 1024: near the VMEM ceiling the tile's double-buffered
+    # operand copies stop overlapping with compute (measured r4:
+    # T=2048 runs ~25% slower than T=1024 on the 128x4096 problem)
+    return min(int(t), 1024)
 
 
 def _slot_kernel(sched_ref, tips_ref, pmats_ref, pi_ref, logw_ref,
