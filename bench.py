@@ -303,6 +303,43 @@ def main():
         f"{TRUE_OPT_LNL:.2f} (tol {LNL_TOL})"
     )
 
+    # --- bootstrap throughput (BASELINE config 5 derivative) --------
+    # 24 nucleic NNI replicates, device-batched (one vmapped blen +
+    # NNI dispatch per round across ALL replicates) vs the serial
+    # per-replicate loop extrapolated from 4 replicates
+    def _bootstrap_bench():
+        from phyml_tpu.io.alignment import read_alignment
+        from phyml_tpu.ops.likelihood import LikelihoodEngine
+        from phyml_tpu.search.bionj import bionj_start
+        from phyml_tpu.search.driver import ml_search
+        from phyml_tpu.search.support import (
+            bootstrap_supports, bootstrap_supports_batched,
+        )
+
+        aln_n = read_alignment("/root/reference/examples/nucleic",
+                               datatype="nt")
+        model_n = SubstModel(datatype="nt", name="GTR", n_classes=4)
+        eng_n = LikelihoodEngine(aln_n, model_n, dtype=jnp.float32)
+        p_n = model_n.init_params(aln_n.obs_state_freqs)
+        topo_n = bionj_start(eng_n, p_n)
+        topo_n, p_n, _ = ml_search(eng_n, model_n, p_n, topo_n,
+                                   kind="nni", retries=1)
+        bootstrap_supports_batched(eng_n, model_n, p_n, topo_n,
+                                   n_replicates=4, seed=0)  # warm
+        t0 = time.monotonic()
+        bootstrap_supports_batched(eng_n, model_n, p_n, topo_n,
+                                   n_replicates=24, seed=100)
+        batched_hr = 24 * 3600.0 / (time.monotonic() - t0)
+        bootstrap_supports(eng_n, model_n, p_n, topo_n,
+                           n_replicates=1, search="nni", seed=0)
+        t0 = time.monotonic()
+        bootstrap_supports(eng_n, model_n, p_n, topo_n,
+                           n_replicates=4, search="nni", seed=100)
+        serial_hr = 4 * 3600.0 / (time.monotonic() - t0)
+        return batched_hr, serial_hr
+
+    boot_hr, boot_serial_hr = _bootstrap_bench()
+
     # --- end-to-end search wall-clock (BASELINE configs 2-4) --------
     e2e = {}
     for name in E2E_CONFIGS:
@@ -331,6 +368,11 @@ def main():
         print(f"# e2e {name}: ours {d['ours_s']}s vs reference "
               f"{d['ref_s']}s (speedup {d['speedup']}x, "
               f"lnL {d['lnl']})", file=sys.stderr)
+    print(f"# bootstrap (nucleic NNI): batched {boot_hr:.0f} reps/hr "
+          f"vs serial {boot_serial_hr:.0f} reps/hr "
+          f"({boot_hr / boot_serial_hr:.1f}x)", file=sys.stderr)
+    e2e["bootstrap_reps_per_hr"] = dict(
+        batched=round(boot_hr), serial=round(boot_serial_hr))
     with open(os.path.join(os.path.dirname(__file__),
                            "E2E.json"), "w") as fh:
         json.dump(e2e, fh, indent=1)

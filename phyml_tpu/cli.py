@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="transfer bootstrap (TBE) instead of FBP")
     p.add_argument("--bayesian_bootstrap", action="store_true",
                    help="Dirichlet-weight bootstrap")
+    p.add_argument("--rapid_boot", action="store_true",
+                   help="device-batched bootstrap: all replicates' "
+                        "branch lengths + NNI rounds advance in one "
+                        "dispatch per round, model parameters frozen "
+                        "at the ML estimates (~5x faster; supports "
+                        "differ slightly from full re-estimation)")
     p.add_argument("--r_seed", type=int, default=None)
     p.add_argument("--rand_start", action="store_true",
                    help="random starting tree(s); the search is run "
@@ -454,6 +460,15 @@ def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
                 search=boot_search, seed=seed,
                 bayesian=args.bayesian_bootstrap, tbe=args.tbe,
                 verbose=not args.quiet,
+            )
+        elif args.rapid_boot:
+            from phyml_tpu.search.support import (
+                bootstrap_supports_batched,
+            )
+            support = bootstrap_supports_batched(
+                engine, model, params, topo, n_replicates=b,
+                seed=seed, bayesian=args.bayesian_bootstrap,
+                tbe=args.tbe, verbose=not args.quiet,
             )
         else:
             support = bootstrap_supports(

@@ -24,6 +24,7 @@ reference's sweep.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -99,12 +100,10 @@ def _make_blen_round(engine):
     return jax.jit(engine.bind_data(_round_core(engine)))
 
 
-def _make_blen_opt(engine, tol: float, max_rounds: int):
-    """Whole optimization as ONE device program: rounds repeat in a
-    lax.while_loop until the gain drops below tol.  A host-side round
-    loop costs one device->host scalar sync per round (~40 ms each on
-    a tunneled TPU — it dominated the optimizer wall-clock 10:1);
-    this runs everything on-device with a single final transfer."""
+def _blen_opt_core(engine, tol: float, max_rounds: int):
+    """Unjitted whole-optimization core (see _make_blen_opt); also
+    vmapped over stacked replicate (tree, weights) pairs by the
+    batched bootstrap (search/support.py)."""
     round_fn = _round_core(engine)
 
     def opt(sys, tree: TreeArrays, weights):
@@ -124,7 +123,40 @@ def _make_blen_opt(engine, tol: float, max_rounds: int):
             cond, body, (tree1, lnl1, lnl0, jnp.asarray(1)))
         return tree_f, lnl_f
 
-    return jax.jit(engine.bind_data(opt))
+    return opt
+
+
+def _make_blen_opt(engine, tol: float, max_rounds: int):
+    """Whole optimization as ONE device program: rounds repeat in a
+    lax.while_loop until the gain drops below tol.  A host-side round
+    loop costs one device->host scalar sync per round (~40 ms each on
+    a tunneled TPU — it dominated the optimizer wall-clock 10:1);
+    this runs everything on-device with a single final transfer."""
+    return jax.jit(engine.bind_data(_blen_opt_core(engine, tol,
+                                                   max_rounds)))
+
+
+def optimize_branch_lengths_batched(engine, params, trees, weights,
+                                    tol: float = 1e-4,
+                                    max_rounds: int = 32):
+    """All replicates' branch-length optimization in ONE dispatch:
+    trees is a stacked TreeArrays (leading replicate axis), weights
+    [R, P].  vmap of the on-device while_loop runs until every
+    replicate converges.  Returns (stacked trees, lnL [R])."""
+    import jax as _jax
+
+    cache = getattr(engine, "_blen_opt_batched_fns", None)
+    if cache is None:
+        cache = engine._blen_opt_batched_fns = {}
+    key = (float(tol), int(max_rounds))
+    fn = cache.get(key)
+    if fn is None:
+        core = _blen_opt_core(engine, tol, max_rounds)
+        fn = cache[key] = _jax.jit(engine.bind_data(
+            _jax.vmap(core, in_axes=(None, 0, 0))))
+    trees_f, lnls = fn(engine.data(), engine.system_of(params),
+                       trees, weights)
+    return trees_f, np.asarray(lnls)
 
 
 def optimize_branch_lengths(

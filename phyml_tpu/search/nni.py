@@ -53,7 +53,7 @@ def candidate_arrays(rv):
     return out
 
 
-def _make_nni_scorer(engine):
+def _nni_scorer_core(engine):
     """Scores every internal edge's 3 configurations with the FOUR
     local branch lengths (central + the three adjacent pendants)
     jointly optimized by coordinate Newton - the batched equivalent
@@ -168,7 +168,26 @@ def _make_nni_scorer(engine):
         )                                              # [E, 3]
         return lnl, (t1, t2, t3, tc), site
 
-    return jax.jit(engine.bind_data(scorer))
+    return scorer
+
+
+def _make_nni_scorer(engine):
+    return jax.jit(engine.bind_data(_nni_scorer_core(engine)))
+
+
+def nni_scores_batched(engine, params, trees, cands, weights):
+    """NNI scoring for a BATCH of replicates in one dispatch: trees
+    stacked TreeArrays, cands [R, E, 5], weights [R, P].  Returns
+    (lnl [R, E, 3], t_opt tuple of [R, E, 3]) as numpy."""
+    fn = getattr(engine, "_nni_scorer_batched_fn", None)
+    if fn is None:
+        core = _nni_scorer_core(engine)
+        fn = jax.jit(engine.bind_data(
+            jax.vmap(core, in_axes=(None, 0, 0, 0))))
+        engine._nni_scorer_batched_fn = fn
+    lnl, ts, _ = fn(engine.data(), engine.system_of(params), trees,
+                    jnp.asarray(cands), weights)
+    return np.asarray(lnl), tuple(np.asarray(t) for t in ts)
 
 
 def nni_scores(engine, params, tree: TreeArrays, cand: np.ndarray,

@@ -233,3 +233,120 @@ def _min_transfer_dist(mask, rep_masks, n):
     xor = rep_masks ^ mask
     h = xor.sum(axis=1)
     return int(np.minimum(h, n - h).min())
+
+
+def bootstrap_supports_batched(
+    engine,
+    model,
+    params,
+    best_topo,
+    n_replicates: int = 100,
+    seed: int = 0,
+    bayesian: bool = False,
+    tbe: bool = False,
+    verbose: bool = False,
+    keep_trees: bool = False,
+    max_rounds: int = 25,
+    min_gain: float = 1e-4,
+):
+    """Device-batched bootstrap: ALL replicates advance together.
+
+    Per round, every replicate's branch-length optimization runs as
+    one vmapped on-device while_loop and every replicate's NNI
+    scoring as one vmapped dispatch over the replicate weight matrix
+    (the mpi_boot.c:100-117 farming idea turned into a batch axis);
+    the host only applies each replicate's best node-disjoint swaps.
+    Model parameters stay FROZEN at the ML estimates — the
+    rapid-bootstrap approximation; bootstrap_supports re-estimates
+    them per replicate (the reference's exact behavior) at serial
+    cost.  Returns {edge id: support in [0, 1]}.
+    """
+    import jax.numpy as jnp
+
+    from phyml_tpu.optim.blen import optimize_branch_lengths_batched
+    from phyml_tpu.ops.likelihood import TreeArrays, tree_arrays
+    from phyml_tpu.search.bionj import bionj_start
+    from phyml_tpu.search.nni import (
+        _apply_swaps, _select_disjoint, candidate_arrays,
+        nni_scores_batched,
+    )
+
+    aln = engine.aln
+    n = best_topo.n_otu
+    ref_bips = best_topo.bipartitions()
+    counts = {eid: 0.0 for eid in ref_bips.values()}
+    ref_masks = _bip_masks(best_topo, ref_bips, n)
+
+    # replicate weight matrix (per-replicate seeding as in the serial
+    # path, so both paths draw identical replicates)
+    W = np.zeros((n_replicates, engine.P))
+    for rep in range(n_replicates):
+        rng = np.random.default_rng(seed + rep)
+        if bayesian:
+            site_w = rng.dirichlet(np.ones(aln.n_sites)) * aln.n_sites
+            pat_w = np.zeros(aln.n_patterns)
+            np.add.at(pat_w, aln.site_to_pattern, site_w)
+        else:
+            pat_w = aln.resample_weights(rng)
+        W[rep, :aln.n_patterns] = pat_w
+    W_j = jnp.asarray(W)
+
+    # starting trees (host BioNJ per replicate; distances on device)
+    topos = [bionj_start(engine, params, weights=W_j[r])
+             for r in range(n_replicates)]
+    active = np.ones(n_replicates, dtype=bool)
+
+    for rnd in range(max_rounds):
+        rvs = [t.rooted() for t in topos]
+        tas = [tree_arrays(rv, dtype=engine.dtype) for rv in rvs]
+        trees = TreeArrays(
+            child=jnp.stack([t.child for t in tas]),
+            blen=jnp.stack([t.blen for t in tas]))
+        trees, lnls = optimize_branch_lengths_batched(
+            engine, params, trees, W_j)
+        blens = np.asarray(trees.blen)
+        cands = np.stack([candidate_arrays(rv) for rv in rvs])
+        lnl_cfg, t_opt = nni_scores_batched(engine, params, trees,
+                                            cands, W_j)
+        n_changed = 0
+        for r in range(n_replicates):
+            if not active[r]:
+                continue
+            topos[r].set_blen_from_rooted(rvs[r], blens[r])
+            gains = lnl_cfg[r][:, 1:] - lnl_cfg[r][:, [0]]
+            chosen = _select_disjoint(cands[r], gains, min_gain)
+            if not chosen:
+                active[r] = False
+                continue
+            topos[r] = _apply_swaps(
+                topos[r].copy(), rvs[r], cands[r], chosen,
+                tuple(t[r] for t in t_opt))
+            n_changed += 1
+        if verbose:
+            print(f"  boot round {rnd}: {int(active.sum())} active, "
+                  f"{n_changed} changed")
+        if not active.any():
+            break
+
+    trees_out = []
+    for rep in range(n_replicates):
+        topo = topos[rep]
+        if keep_trees:
+            trees_out.append(topo)
+        if tbe:
+            rep_masks = _all_bip_masks(topo, n)
+            for eid, mask in ref_masks.items():
+                psz = min(mask.sum(), n - mask.sum())
+                if psz <= 1:
+                    continue
+                d = _min_transfer_dist(mask, rep_masks, n)
+                counts[eid] += max(0.0, 1.0 - d / (psz - 1))
+        else:
+            rep_bips = set(topo.bipartitions().keys())
+            for bip, eid in ref_bips.items():
+                if bip in rep_bips:
+                    counts[eid] += 1.0
+    supports = {eid: c / n_replicates for eid, c in counts.items()}
+    if keep_trees:
+        return supports, trees_out
+    return supports
