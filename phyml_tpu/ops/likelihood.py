@@ -163,6 +163,16 @@ class LikelihoodEngine:
             self.slot_tile -= 128
         if self.slot_tile < 128:
             self.slot_tile = 0
+        # fused up+down+dotprods kernel (ops/pallas_edotp.py) for the
+        # optimizer/search hot path; 0 -> scan fallback
+        from phyml_tpu.ops.pallas_edotp import edotp_tile_size
+        et = edotp_tile_size(self.n_otu, self.C, self.ns)
+        self.edotp_tile = et if (use_pallas and dtype == jnp.float32
+                                 and et >= 128) else 0
+        while self.edotp_tile and self.P % self.edotp_tile:
+            self.edotp_tile -= 128
+        if self.edotp_tile < 128:
+            self.edotp_tile = 0
         self._interp = jax.default_backend() != "tpu"
 
         tips = np.transpose(aln.partials, (0, 2, 1))  # [n_otu, ns, P_raw]
@@ -668,12 +678,24 @@ class LikelihoodEngine:
     def edge_dotprods_sys(self, sys, tree: TreeArrays, weights):
         lam, V, Vinv, pi, w, pinv = sys
         pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
-        pup, clv, sc = self._up_pass(pmats, tree.child)
-        out, sc_out = self._down_pass(pmats, tree.child, pup, sc, pi)
-        b = jnp.einsum("ciy,ncyp->ncip", Vinv, clv, precision=_PREC)
-        a = jnp.einsum("czi,nczp->ncip", V, out, precision=_PREC)
-        d = a * b
-        sc_d = sc_out + sc
+        if getattr(self, "edotp_tile", 0):
+            from phyml_tpu.ops.pallas_edotp import edge_dotprods_pallas
+            d, sc_d = edge_dotprods_pallas(
+                tree.child, self.tips, pmats, V, Vinv, pi,
+                n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
+                ns=self.ns, T=self.edotp_tile,
+                interpret=self._interp)
+            d = d.astype(self.dtype)
+            sc_d = sc_d.astype(self.dtype)
+        else:
+            pup, clv, sc = self._up_pass(pmats, tree.child)
+            out, sc_out = self._down_pass(pmats, tree.child, pup, sc,
+                                          pi)
+            b = jnp.einsum("ciy,ncyp->ncip", Vinv, clv,
+                           precision=_PREC)
+            a = jnp.einsum("czi,nczp->ncip", V, out, precision=_PREC)
+            d = a * b
+            sc_d = sc_out + sc
         aux = dict(lam=lam, w=w, pinv=pinv, weights=weights,
                    inv_lk=self._inv_lk(pi, w) if self.model.invar
                    else jnp.zeros((self.P,), dtype=self.dtype))
