@@ -77,7 +77,7 @@ class MCMC:
         "tree_clock_swap", "subtree_scale",
         # r4 mixing additions (≙ mcmc.c:6591-6668 tuned-move depth):
         "updown_root_clock", "rate_exchange", "nu_rates_updown",
-        "height_jitter",
+        "height_jitter", "updown_t_br", "subtree_rates",
     ]
 
     def __init__(self, engine, model, subst_params, time_tree,
@@ -163,13 +163,15 @@ class MCMC:
             0.3,   # rate_exchange
             0.3,   # nu_rates_updown
             0.5,   # height_jitter (fraction of the (lo,hi) window)
+            0.5,   # updown_t_br
+            0.3,   # subtree_rates
         ])
         has_tr = trait_x is not None
         w = np.array([
             3.0 * (n - 2), 2.0, 2.0, 2.0,
             (1.5 * (2 * n - 2)) if rate_model.kind != STRICT else 0.0,
             2.0 if rate_model.kind != STRICT else 0.0,
-            2.0 * len(self.hyper_names), 5.0, 5.0,
+            2.0 * len(self.hyper_names), 7.0, 7.0,
             6.0 if rate_model.kind != STRICT else 0.0,
             2.0 if has_tr else 0.0,
             (1.5 * (2 * n - 2)) if has_tr and trait_kind == "rrw"
@@ -181,6 +183,8 @@ class MCMC:
             2.0 if rate_model.kind in ("lognormal", "thorne")
             else 0.0,               # nu_rates_updown
             2.0 * (n - 2),          # height_jitter
+            3.0 if rate_model.kind != STRICT else 0.0,  # updown_t_br
+            2.0 if rate_model.kind != STRICT else 0.0,  # subtree_rates
         ])
         if "kappa" not in subst_params:
             w[7] = 0.0
@@ -495,6 +499,67 @@ class MCMC:
         h = lo + jnp.minimum(x, 2.0 * w - x)     # reflect into (lo,hi)
         return st._replace(heights=st.heights.at[u].set(h)), 0.0, True
 
+    def _mv_updown_t_br(self, st, key, step):
+        """Move one internal non-root height while RESCALING the three
+        incident edges' relative rates so every branch length is
+        exactly invariant — lnL is reused, only the (times, rates)
+        prior decomposition moves (≙ MCMC_Updown_T_Br mcmc.c).
+        Jacobian: m from the height map times dt_e/dt'_e per rescaled
+        rate."""
+        k1, k2 = jax.random.split(key)
+        i = jax.random.randint(k1, (), 0, self.n_otu - 2)
+        u = self.n_otu + i
+        c0 = st.child[i, 0]
+        c1 = st.child[i, 1]
+        lo = jnp.maximum(st.heights[c0], st.heights[c1])
+        hi = st.heights[st.parent[u]]
+        m = jnp.exp(step * (jax.random.uniform(k2, ()) - 0.5))
+        h_new = lo + m * (st.heights[u] - lo)
+        h_new = jnp.clip(h_new, lo + 1e-12, hi - 1e-12)
+        dt_u = hi - st.heights[u]
+        dt_u2 = hi - h_new
+        dt0 = st.heights[u] - st.heights[c0]
+        dt0_2 = h_new - st.heights[c0]
+        dt1 = st.heights[u] - st.heights[c1]
+        dt1_2 = h_new - st.heights[c1]
+        eps = 1e-12
+        lr = st.log_r
+        lr = lr.at[u].add(jnp.log(jnp.maximum(dt_u, eps))
+                          - jnp.log(jnp.maximum(dt_u2, eps)))
+        lr = lr.at[c0].add(jnp.log(jnp.maximum(dt0, eps))
+                           - jnp.log(jnp.maximum(dt0_2, eps)))
+        lr = lr.at[c1].add(jnp.log(jnp.maximum(dt1, eps))
+                           - jnp.log(jnp.maximum(dt1_2, eps)))
+        # |J| = m (height) x 1 per log-rate translation
+        feasible = (h_new > lo) & (h_new < hi)
+        log_h = jnp.where(feasible, jnp.log(m), NEG_INF)
+        return (st._replace(heights=st.heights.at[u].set(
+            jnp.where(feasible, h_new, st.heights[u])), log_r=lr),
+            log_h, False)
+
+    def _mv_subtree_rates(self, st, key, step):
+        """Translate the log-rates of every edge strictly below a
+        random internal node by d (≙ MCMC_Subtree_Rates): moves a
+        whole clade's rate level in one step."""
+        k1, k2 = jax.random.split(key)
+        n = self.n_otu
+        u = jax.random.randint(k1, (), n, self.root)
+
+        def body(j, mask):
+            i = self.n_otu - 2 - j
+            node = n + i
+            on = mask[node]
+            c0 = st.child[i, 0]
+            c1 = st.child[i, 1]
+            return mask.at[c0].set(mask[c0] | on)                        .at[c1].set(mask[c1] | on)
+
+        mask = jnp.zeros(self.n_nodes, dtype=bool).at[u].set(True)
+        mask = lax.fori_loop(0, self.n_otu - 1, body, mask)
+        mask = mask.at[u].set(False)
+        d = step * jax.random.normal(k2, ())
+        log_r = jnp.where(mask, st.log_r + d, st.log_r)
+        return st._replace(log_r=log_r), 0.0, True
+
     # ------------------------------------------------------------------
     def _step(self, st: ChainState, key, steps):
         kmv, kprop, kacc = jax.random.split(key, 3)
@@ -516,6 +581,8 @@ class MCMC:
             self._mv_rate_exchange,
             self._mv_nu_rates_updown,
             self._mv_height_jitter,
+            self._mv_updown_t_br,
+            self._mv_subtree_rates,
         ]
 
         def branch(fn, i):

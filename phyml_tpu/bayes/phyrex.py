@@ -309,14 +309,15 @@ def _run_phyrex_slfv(engine, model, params, coords, time_tree,
         fh.close()
     trace = np.asarray(out)
     final = smp.state
-    tree = state_to_timetree(final)
+    tree, node_of = state_to_timetree(final, return_node_map=True)
     tree = TimeTree(n_otu=tree.n_otu, child=tree.child,
                     heights=tree.heights,
                     names=list(time_tree.names))
     root_ldsk = int(np.argmax(final.parent < 0))
-    anc = np.full((tree.n_nodes, coords.shape[1]), np.nan)
+    # sampled ancestral locations straight off the augmented state
+    # (≙ PHYREX's sampled ldsk coordinates)
+    anc = final.coord[node_of]
     anc[:tree.n_otu] = coords
-    anc[tree.n_nodes - 1] = final.coord[root_ldsk]
     acc = np.asarray([smp.accepts[m] / max(smp.tries[m], 1)
                       for m in smp.MOVES])
     summary = {

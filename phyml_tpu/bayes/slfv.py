@@ -225,13 +225,18 @@ def simulate_slfv(n_otu: int, params: SLFVParams,
     )
 
 
-def state_to_timetree(state: SLFVState):
+def state_to_timetree(state: SLFVState, return_node_map: bool = False):
     """Collapse the ldsk chain to the coalescent TimeTree (multiple
     mergers are resolved left-to-right into cherries, matching the
     reference's binary-tree conversion PHYREX_Ldsk_To_Tree
     phyrex.c:2530).  Only defined when every hit merged <= 2 lineages
     (`simulate_slfv` with small mu/rad rarely violates this; callers
-    needing the general case should keep the ldsk representation)."""
+    needing the general case should keep the ldsk representation).
+
+    return_node_map=True also returns node_of [2n-1] int: the ldsk id
+    each tree node collapses from (cherries of a multi-merger share
+    the merger's ldsk) — used to read sampled ancestral LOCATIONS off
+    the augmented state."""
     from phyml_tpu.bayes.chrono import TimeTree
     n = state.n_otu
     kids: dict[int, list[int]] = {}
@@ -251,7 +256,8 @@ def state_to_timetree(state: SLFVState):
         node = rs[0]
         for other in rs[1:]:
             pid = -(len(merges) + 1)     # placeholder id, by creation
-            merges.append((float(state.h_node[u]), node, other, pid))
+            merges.append((float(state.h_node[u]), node, other, pid,
+                           u))
             node = pid
         return node
 
@@ -264,17 +270,22 @@ def state_to_timetree(state: SLFVState):
     n_nodes = 2 * n - 1
     heights = np.zeros(n_nodes)
     child = np.zeros((n - 1, 2), dtype=np.int64)
+    node_of = np.arange(n_nodes, dtype=np.int64)
     remap: dict[int, int] = {}
     nxt = n
-    for k, (h, a, b, pid) in enumerate(merges):
+    for k, (h, a, b, pid, u) in enumerate(merges):
         ia = a if a >= 0 else remap[a]
         ib = b if b >= 0 else remap[b]
         child[k] = (ia, ib)
         heights[nxt] = h
+        node_of[nxt] = u
         remap[pid] = nxt
         nxt += 1
     names = [f"t{i}" for i in range(n)]
-    return TimeTree(n_otu=n, child=child, heights=heights, names=names)
+    tt = TimeTree(n_otu=n, child=child, heights=heights, names=names)
+    if return_node_map:
+        return tt, node_of
+    return tt
 
 
 # ----------------------------------------------------------------------
