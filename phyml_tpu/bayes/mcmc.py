@@ -522,16 +522,22 @@ class MCMC:
         dt0_2 = h_new - st.heights[c0]
         dt1 = st.heights[u] - st.heights[c1]
         dt1_2 = h_new - st.heights[c1]
-        eps = 1e-12
+        # blen invariance (the basis for reusing lnL) requires the
+        # rate compensation r' = r * dt/dt' to be EXACT: reject any
+        # proposal touching a near-degenerate gap rather than clamp
+        # (a clamped log would silently change branch lengths and
+        # cache a stale likelihood)
+        eps = 1e-9
+        feasible = (h_new > lo) & (h_new < hi) \
+            & (dt_u > eps) & (dt_u2 > eps) \
+            & (dt0 > eps) & (dt0_2 > eps) \
+            & (dt1 > eps) & (dt1_2 > eps)
+        safe = lambda x: jnp.maximum(x, eps)
         lr = st.log_r
-        lr = lr.at[u].add(jnp.log(jnp.maximum(dt_u, eps))
-                          - jnp.log(jnp.maximum(dt_u2, eps)))
-        lr = lr.at[c0].add(jnp.log(jnp.maximum(dt0, eps))
-                           - jnp.log(jnp.maximum(dt0_2, eps)))
-        lr = lr.at[c1].add(jnp.log(jnp.maximum(dt1, eps))
-                           - jnp.log(jnp.maximum(dt1_2, eps)))
+        lr = lr.at[u].add(jnp.log(safe(dt_u)) - jnp.log(safe(dt_u2)))
+        lr = lr.at[c0].add(jnp.log(safe(dt0)) - jnp.log(safe(dt0_2)))
+        lr = lr.at[c1].add(jnp.log(safe(dt1)) - jnp.log(safe(dt1_2)))
         # |J| = m (height) x 1 per log-rate translation
-        feasible = (h_new > lo) & (h_new < hi)
         log_h = jnp.where(feasible, jnp.log(m), NEG_INF)
         return (st._replace(heights=st.heights.at[u].set(
             jnp.where(feasible, h_new, st.heights[u])), log_r=lr),

@@ -224,3 +224,46 @@ def test_cli_constraint_file(tmp_path):
     got = Topology.from_newick(out, names)
     c = Constraint(parse_newick(cons.read_text()), names)
     assert c.is_compatible(got)
+
+
+def test_xml_spatialmodel_parsing(tmp_path):
+    """<spatialmodel> name mapping (phyrex.c:320-331) and the SLFV
+    default when the element is absent (init.c:6097)."""
+    from phyml_tpu.io.xmlcfg import parse_xml
+
+    base = (
+        '<phyrex run.id="t" output.file="o" mcmc.chain.len="100">'
+        "{SM}"
+        '<topology><instance id="T1" init.tree="bionj"/></topology>'
+        '<ratematrices id="RM1">'
+        '<instance id="M1" model="HKY85"/></ratematrices>'
+        '<siterates id="SR1"><instance id="R1" init.value="1.0"/>'
+        '<weights id="D1" family="gamma">'
+        '<instance appliesto="R1" value="1.0"/></weights></siterates>'
+        '<equfreqs id="EF1"><instance id="F1"/></equfreqs>'
+        '<branchlengths id="BL1"><instance id="L1"/></branchlengths>'
+        '<partitionelem id="p1" file.name="x.phy" data.type="nt">'
+        '<mixtureelem list="T1"/><mixtureelem list="M1"/>'
+        '<mixtureelem list="F1"/><mixtureelem list="R1"/>'
+        '<mixtureelem list="L1"/></partitionelem>'
+        "</phyrex>"
+    )
+    cases = {
+        "": "slfv",                                   # absent -> SLFV
+        '<spatialmodel name="slfv"/>': "slfv",
+        '<spatialmodel name="rrw+lognormal"/>': "rrw",
+        '<spatialmodel name="rrw+gamma"/>': "rrw",
+        '<spatialmodel name="rw"/>': "rw",
+        '<spatialmodel name="ibm"/>': "ibm",
+        '<spatialmodel name="riwn"/>': "iwn",
+        '<spatialmodel name="iou"/>': "iou",
+    }
+    for sm, expect in cases.items():
+        f = tmp_path / "t.xml"
+        f.write_text(base.replace("{SM}", sm))
+        assert parse_xml(str(f))["spatialmodel"] == expect, sm
+    f = tmp_path / "t.xml"
+    f.write_text(base.replace("{SM}", '<spatialmodel name="bogus"/>'))
+    import pytest
+    with pytest.raises(ValueError):
+        parse_xml(str(f))

@@ -87,7 +87,10 @@ def test_mcmc_guindon_runs():
     tt = TimeTree.coalescent(6, rng, theta=0.4)
     aln = _sim_alignment(tt, rng, n_sites=120)
     model = SubstModel(datatype="nt", name="HKY85", n_classes=1)
-    engine = LikelihoodEngine(aln, model)
+    # float64 engine: the cached-vs-recomputed lnL audit below needs
+    # cross-program reproducibility, and two differently-fused f32
+    # XLA programs legitimately differ by ~1e-6 at |lnL|~5e2
+    engine = LikelihoodEngine(aln, model, dtype=jnp.float64)
     params = model.init_params(aln.obs_state_freqs)
 
     mcmc = MCMC(engine, model, params, tt, RateModel(kind="guindon"),
