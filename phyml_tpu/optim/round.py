@@ -100,33 +100,6 @@ def _set(params, name, idx, value):
     return p
 
 
-def _batched_loglik(engine):
-    """Jitted lnL over a BATCH of params pytrees (leaves stacked on
-    axis 0) — one device call scores a whole grid of candidate values
-    for a scalar parameter.  Replaces serial Brent evaluations, each
-    of which paid a full device->host sync (~40 ms on the tunneled
-    TPU: a 25-eval Brent cost ~1 s of pure sync per parameter)."""
-    import jax
-
-    fn = getattr(engine, "_batched_loglik_fn", None)
-    if fn is None:
-        def eval_many(tree, weights, params_batch):
-            return jax.vmap(
-                lambda p: engine._loglik(p, tree, weights)
-            )(params_batch)
-
-        fn = jax.jit(engine.bind_data(eval_many))
-        engine._batched_loglik_fn = fn
-    return fn
-
-
-def _stack_params(variants):
-    import jax
-
-    return jax.tree_util.tree_map(
-        lambda *leaves: jnp.stack(leaves), *variants)
-
-
 def _x0_of(tf, cur):
     if tf is math.exp:
         return math.log(max(cur, 1e-12))
