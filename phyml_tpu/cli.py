@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="proportion of invariant sites (or 'e')")
     p.add_argument("--free_rates", action="store_true",
                    help="FreeRate model instead of discrete gamma")
+    p.add_argument("--il", action="store_true",
+                   help="integrated-length model: each branch length "
+                        "Gamma-distributed with variance blen*sigma, "
+                        "sigma estimated (reference --il / "
+                        "gamma_mgf_bl; Guindon 2012)")
     p.add_argument("-u", "--user_tree", default=None,
                    help="starting tree newick file")
     p.add_argument("-o", "--optimize", default="tlr",
@@ -210,6 +215,12 @@ def _init_params(args, model, aln):
             params["cov_delta"] = jnp.asarray(float(args.cov_delta))
         if args.cov_alpha not in (None, "e") and "cov_alpha" in params:
             params["cov_alpha"] = jnp.asarray(float(args.cov_alpha))
+    if getattr(args, "il", False):
+        # IL branch-length variance sigma, stored in log space and
+        # optimized with the other scalars (reference default 0.1,
+        # init.c:693); the engine substitutes the MGF eigenvalues in
+        # _system, so every search/optimizer path is exact under IL
+        params["il_sigma"] = jnp.asarray(float(np.log(0.1)))
     return params
 
 
@@ -494,11 +505,18 @@ def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
         # participated in the count reduction above
         return 0
     pars = parsimony_score(engine, topo)
+    il_lines = []
+    if "il_sigma" in params:
+        il_lines = [
+            ". Integrated length (IL) model: \tyes",
+            f"  - IL variance parameter sigma: \t"
+            f"{float(np.exp(params['il_sigma'])):.5f}",
+        ]
     stats = format_stats(
         input_name=args.input, aln=aln, model=model, params=params,
         lnl=lnl, topo=topo, search_desc=search_desc,
         start_tree_desc=start_desc, runtime_s=time.time() - t_start,
-        seed=seed, n_parsimony=pars,
+        seed=seed, n_parsimony=pars, extra_lines=il_lines,
     )
     run_id = f"_{args.run_id}" if args.run_id else ""
     prefix = f"{args.input}{run_id}"

@@ -361,6 +361,23 @@ class LikelihoodEngine:
     # ------------------------------------------------------------------
     def _system(self, params):
         lam, V, Vinv, pi, w, pinv = self.model.class_system(params)
+        if "il_sigma" in params:
+            # Integrated-length (IL) model (reference --il,
+            # gamma_mgf_bl cl.c:430-434): each branch length is
+            # Gamma-distributed with mean t and variance t*sigma, and
+            # E[P(L)] = V diag((1-lam*sigma)^(-t/sigma)) V^-1
+            #         = V diag(exp(t*mu)) V^-1,
+            # with mu = -log(1-lam*sigma)/sigma — an exponential
+            # family in t again.  Substituting mu for lam here makes
+            # EVERY downstream path (fused kernels, scans, eigen-LR
+            # Newton, NNI/SPR scorers, full topology search) exact
+            # under IL with zero further changes; the reference
+            # instead special-cases PMat (models.c:1044) and falls
+            # back to per-edge Brent for lengths.
+            sig = jnp.exp(params["il_sigma"])
+            lam_il = -jnp.log(jnp.maximum(1.0 - lam * sig, 1e-30)) \
+                / jnp.maximum(sig, 1e-30)
+            lam = jnp.where(sig > 1e-12, lam_il, lam)
         c = lambda x: jnp.asarray(x, dtype=self.dtype)
         return c(lam), c(V), c(Vinv), c(pi), c(w), c(pinv)
 

@@ -62,6 +62,11 @@ def free_scalar_slots(model, params):
             # weights are softmax-normalized; fix the last logit
             slots.append(("class_weights_raw", i, lambda x: x,
                           -9.0, 9.0))
+    if "il_sigma" in params:
+        # IL branch-length variance (reference l_var_sigma, optimized
+        # by Generic_Brent optimiz.c:2953); stored as log(sigma)
+        slots.append(("il_sigma", None, lambda x: x,
+                      math.log(1e-4), math.log(100.0)))
     if "freqs_raw" in params:
         n = int(np.asarray(params["freqs_raw"]).shape[0])
         for i in range(n - 1):

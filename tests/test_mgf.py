@@ -101,3 +101,72 @@ def test_mcmc_guindon_runs():
     lnL_re = float(mcmc._lnL(st))
     assert float(st.lnL) == pytest.approx(lnL_re, abs=1e-6)
     assert np.isfinite(trace[:, 0]).all()
+
+
+def test_il_model_ml_tier():
+    """--il (integrated-length) support in the ML tier: with
+    params["il_sigma"] set, the engine substitutes the MGF
+    eigenvalues mu = -log(1 - lam*sigma)/sigma in _system, making
+    EVERY path (kernels, eigen-LR Newton, searches) exact under IL.
+
+    The reference binary cannot serve as the oracle here: its --il
+    path errors out in optimiz.c:852 under `-o lr` and its `-o n`
+    evaluation fails the sigma->0 limit (l_var=1e-6 gives -5783.08
+    where the plain likelihood is -5681.82 — the Gamma(mean t,
+    var t*sigma) expectation must converge to P(t); measured r4,
+    bit-rotted upstream like --cov).  So the checks are the model's
+    own mathematical properties plus agreement with the
+    independently-implemented MGF path (pmat_mgf_gamma, which
+    mirrors PMat_MGF_Gamma models.c:1044)."""
+    import jax.numpy as jnp
+
+    from phyml_tpu.io.alignment import read_alignment
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.optim.blen import optimize_branch_lengths
+    from phyml_tpu.optim.round import free_scalar_slots, round_optimize
+    from phyml_tpu.topology import Topology
+
+    aln = read_alignment("/root/reference/examples/nucleic",
+                         datatype="nt")
+    tree = Topology.from_newick(
+        open("tests/golden/ref_tree_A.nwk").read(), aln.names)
+    m = SubstModel(datatype="nt", name="HKY85", n_classes=4)
+    eng = LikelihoodEngine(aln, m, dtype=jnp.float64)
+    p = m.init_params(aln.obs_state_freqs)
+    ta = tree_arrays(tree.rooted(), dtype=jnp.float64)
+    plain = float(eng.loglik(p, ta))
+
+    # equality with the explicit MGF path at several sigmas
+    for sig in (0.05, 0.3, 1.0):
+        p_il = dict(p)
+        p_il["il_sigma"] = jnp.asarray(np.log(sig))
+        l_sub = float(eng.loglik(p_il, ta))
+        l_mgf = float(eng.loglik_mgf(p, ta, sig))
+        assert abs(l_sub - l_mgf) < 1e-8, (sig, l_sub, l_mgf)
+        assert l_sub < plain          # integrating noise costs lnL
+
+    # sigma -> 0 recovers the plain likelihood (the limit the
+    # reference binary's --il fails)
+    p_il = dict(p)
+    p_il["il_sigma"] = jnp.asarray(np.log(1e-13))
+    assert abs(float(eng.loglik(p_il, ta)) - plain) < 1e-6
+
+    # il_sigma is an optimizer slot, and joint optimization under IL
+    # (branch lengths via the eigen-LR Newton with substituted
+    # eigenvalues + scalars incl. sigma) improves and stays finite
+    p_il = dict(p)
+    p_il["il_sigma"] = jnp.asarray(np.log(0.1))
+    names = [s[0] for s in free_scalar_slots(m, p_il)]
+    assert "il_sigma" in names
+    l0 = float(eng.loglik(p_il, ta))
+    p_opt, ta_opt, l_opt = round_optimize(eng, m, p_il, ta,
+                                          max_rounds=3)
+    assert l_opt > l0
+    # the fitted sigma should be small on data simulated without IL
+    # noise; at minimum it must have moved off the init and the
+    # optimized lnL must approach the plain-model optimum from below
+    # IL nests the plain model at sigma->0, so its joint optimum can
+    # only match or beat the plain branch-length optimum
+    ta2, l_plain_opt = optimize_branch_lengths(eng, p, ta)
+    assert l_opt >= l_plain_opt - 1e-6, (l_opt, l_plain_opt)
