@@ -166,6 +166,7 @@ def run_phyrex(
     trace_path: str | None = None,
     verbose: bool = False,
     sample_topology: bool | None = None,
+    spatial_dist: str = "euclidean",
 ) -> PhyrexResult:
     """Joint sequence + coordinate phylogeography.  `coords`
     [n_otu, D] in taxon order (lat/lon or any Euclidean projection,
@@ -200,7 +201,7 @@ def run_phyrex(
         # sequence likelihood (phyrex.c:1234 PHYREX_MCMC)
         return _run_phyrex_slfv(engine, model, params, coords,
                                 time_tree, settings, trace_path,
-                                verbose)
+                                verbose, spatial_dist)
 
     if sample_topology is None:
         sample_topology = trait_kind in ("rw", "rrw")
@@ -256,7 +257,8 @@ def print_summary(res: PhyrexResult, out=sys.stdout) -> None:
 
 
 def _run_phyrex_slfv(engine, model, params, coords, time_tree,
-                     settings, trace_path, verbose) -> PhyrexResult:
+                     settings, trace_path, verbose,
+                     spatial_dist: str = "euclidean") -> PhyrexResult:
     """SLFV-mode PhyREX: SLFVJointSampler over the augmented
     event-disk state, coupled to the sequence likelihood through a
     strict clock (≙ phyrex.c:1234 with mmod->model_id ==
@@ -268,11 +270,14 @@ def _run_phyrex_slfv(engine, model, params, coords, time_tree,
 
     coords = np.asarray(coords, dtype=np.float64)
     pad = 0.25 * (coords.max(0) - coords.min(0) + 1.0)
+    rad0 = float(np.mean(coords.std(0)) + 0.1)
+    if spatial_dist == "greatcircle":
+        rad0 *= 111.0        # degrees -> km scale for the hit kernel
     p0 = SLFVParams(
-        lbda=1.0, mu=0.5,
-        rad=float(np.mean(coords.std(0)) + 0.1),
+        lbda=1.0, mu=0.5, rad=rad0,
         lim_lo=tuple(coords.min(0) - pad),
         lim_up=tuple(coords.max(0) + pad),
+        dist_type=spatial_dist,
     )
     rng = np.random.default_rng((settings.seed if settings else 0)
                                 + 4711)

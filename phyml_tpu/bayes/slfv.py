@@ -37,12 +37,37 @@ LOG2PI = float(np.log(2.0 * np.pi))
 class SLFVParams:
     """Habitat is the rectangle [lim_lo, lim_up]^D (≙ mmod->lim_do/
     lim_up); defaults match PHYREX_Set_Default (phyrex.c:856:
-    lbda 0.1; mu/rad data-scale)."""
+    lbda 0.1; mu/rad data-scale).
+
+    dist_type: "euclidean" or "greatcircle" (the reference's
+    HAVERSINE, phyrex.c:340-346) — with greatcircle, coordinates are
+    (lat, lon) in degrees and the hit-kernel distance is the
+    great-circle distance in km (rad then has km units)."""
     lbda: float = 0.1      # event rate per unit time
     mu: float = 0.5        # hit probability at the center
     rad: float = 1.0       # dispersal radius (sd of the hit kernel)
     lim_lo: tuple = (0.0, 0.0)
     lim_up: tuple = (10.0, 10.0)
+    dist_type: str = "euclidean"
+
+
+_EARTH_R_KM = 6371.0
+
+
+def _sq_dist(x, c, params, xp):
+    """Squared hit-kernel distance between points x [..., D] and
+    centers c [..., D] under params.dist_type; xp is np or jnp."""
+    if params.dist_type == "greatcircle":
+        lat1 = xp.radians(x[..., 0])
+        lat2 = xp.radians(c[..., 0])
+        dlat = lat2 - lat1
+        dlon = xp.radians(c[..., 1] - x[..., 1])
+        a = xp.sin(dlat / 2) ** 2 \
+            + xp.cos(lat1) * xp.cos(lat2) * xp.sin(dlon / 2) ** 2
+        d = 2.0 * _EARTH_R_KM * xp.arcsin(
+            xp.sqrt(xp.clip(a, 0.0, 1.0)))
+        return d * d
+    return ((x - c) ** 2).sum(-1)
 
 
 @dataclass
@@ -127,8 +152,8 @@ def slfv_loglik(state: SLFVState, params: SLFVParams):
     hit_mask_np[rows[sel], cols[sel]] = True
     hit_mask = jnp.asarray(hit_mask_np)
 
-    # log prob of a hit: log(mu) - sum_d (x - c)^2 / (2 rad^2)
-    d2 = jnp.sum((coord[None, :, :] - centr[:, None, :]) ** 2, axis=-1)
+    # log prob of a hit: log(mu) - d(x, c)^2 / (2 rad^2)
+    d2 = _sq_dist(coord[None, :, :], centr[:, None, :], params, jnp)
     log_p_hit = jnp.log(mu) - d2 / (2.0 * rad * rad)     # [K, L]
     log_p_hit = jnp.minimum(log_p_hit, -1e-10)
     log_p_miss = jnp.log(-jnp.expm1(log_p_hit))
@@ -192,7 +217,8 @@ def simulate_slfv(n_otu: int, params: SLFVParams,
         c = lo + (up - lo) * rng.random(D)
         x = np.asarray([coord[l] for l in live])
         p_hit = params.mu * np.exp(
-            -np.sum((x - c) ** 2, axis=1) / (2.0 * params.rad ** 2))
+            -_sq_dist(x, c[None], params, np)
+            / (2.0 * params.rad ** 2))
         hits = np.nonzero(rng.random(len(live)) < p_hit)[0]
         h_disk.append(h)
         centr.append(c)
@@ -365,7 +391,7 @@ def _loglik_np(state: SLFVState, params: SLFVParams) -> float:
     hit_mask = np.zeros((K, L), dtype=bool)
     hit_mask[rows[sel], np.nonzero(sel)[0]] = True
 
-    d2 = ((coord[None, :, :] - centr[:, None, :]) ** 2).sum(-1)
+    d2 = _sq_dist(coord[None, :, :], centr[:, None, :], params, np)
     log_p_hit = np.minimum(np.log(mu) - d2 / (2.0 * rad * rad),
                            -1e-10)
     log_p_miss = np.log(-np.expm1(log_p_hit))

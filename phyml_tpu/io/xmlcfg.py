@@ -48,6 +48,7 @@ def parse_xml(path: str) -> dict:
         # reference default when <spatialmodel> is absent: the SLFV
         # Gaussian event-disk model (init.c:6097), NOT the RRW
         "spatialmodel": "slfv",
+        "spatial_dist": "euclidean",
         # root attribute mutmap="yes": write sampled substitution
         # histories (phyrex.c mutmap path -> ancestral.c:411)
         "mutmap": root.get("mutmap", "no").lower()
@@ -97,6 +98,10 @@ def parse_xml(path: str) -> dict:
         if name not in sm_aliases:
             raise ValueError(f"unknown spatial model {name!r}")
         cfg["spatialmodel"] = sm_aliases[name]
+        dist = (sm.get("distance.type") or "euclidean").lower()
+        # reference aliases (phyrex.c:340-346): HAVERSINE
+        if dist in ("great circle", "greatcircle"):
+            cfg["spatial_dist"] = "greatcircle"
     cr = root.find("clockrate")
     if cr is not None:
         cfg["clockrate"] = {
@@ -435,6 +440,7 @@ def _run_xml_bayes(path: str, cfg: dict, quiet: bool,
             rate_kind=rate_kind, settings=settings,
             trace_path=trace_path, verbose=not quiet,
             sample_topology=sample_topo,
+            spatial_dist=cfg["spatial_dist"],
         )
     else:
         from phyml_tpu.bayes.date import print_summary, run_phytime

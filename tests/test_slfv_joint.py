@@ -146,3 +146,47 @@ def test_state_from_timetree_roundtrip(sim_state):
     lim = SLFVParams(lbda=1.0, mu=0.5, rad=1.5,
                      lim_lo=(-20.0, -20.0), lim_up=(26.0, 26.0))
     assert np.isfinite(_loglik_np(st, lim))
+
+
+def test_greatcircle_distance_type():
+    """distance.type "greatcircle" (reference HAVERSINE,
+    phyrex.c:340-346): the hit kernel uses great-circle km on
+    (lat, lon) coordinates; density stays finite, differs from the
+    euclidean kernel, and the joint sampler runs on it."""
+    rng = np.random.default_rng(12)
+    # lat/lon-ish habitat (degrees), dispersal radius in km
+    p_gc = SLFVParams(lbda=1.0, mu=0.6, rad=150.0,
+                      lim_lo=(30.0, -100.0), lim_up=(45.0, -70.0),
+                      dist_type="greatcircle")
+    st = simulate_slfv(8, p_gc, rng)
+    l_gc = _loglik_np(st, p_gc)
+    assert np.isfinite(l_gc)
+    # jnp and numpy densities agree under greatcircle too
+    assert abs(l_gc - float(slfv_loglik(st, p_gc))) < 1e-6
+    # a euclidean kernel on the same state gives a different density
+    from dataclasses import replace
+    l_eu = _loglik_np(st, replace(p_gc, dist_type="euclidean"))
+    assert abs(l_gc - l_eu) > 1.0
+    smp = SLFVJointSampler(st, p_gc, seed=5)
+    smp.run(n_sweeps=100, thin=10)
+    assert np.isfinite(smp.lp)
+
+
+def test_xml_spatial_distance_type(tmp_path):
+    """<spatialmodel distance.type="greatcircle"> parses (reference
+    dist_type table) and defaults to euclidean."""
+    import shutil
+    from phyml_tpu.io.xmlcfg import parse_xml
+
+    d = tmp_path / "fx"
+    shutil.copytree("/root/reference/examples/phyrex", d)
+    xml = (d / "flu.xml").read_text()
+    assert parse_xml(str(d / "flu.xml"))["spatial_dist"] == "euclidean"
+    xml2 = xml.replace(
+        "<coordinates",
+        '<spatialmodel name="slfv" distance.type="greatcircle"/>'
+        "<coordinates", 1)
+    (d / "flu.xml").write_text(xml2)
+    cfg = parse_xml(str(d / "flu.xml"))
+    assert cfg["spatial_dist"] == "greatcircle"
+    assert cfg["spatialmodel"] == "slfv"
