@@ -37,6 +37,8 @@ only cross-device communication is the final weighted reduction.
 
 from __future__ import annotations
 
+import collections
+import logging
 import math
 from functools import partial
 from typing import NamedTuple
@@ -74,15 +76,21 @@ class Partials(NamedTuple):
 # sync AND permanently degrade every subsequent dispatch on the
 # remote-attached TPU runtime (measured r4: ~0.03 ms -> ~1.2 ms per
 # dispatch, irreversible for the process).  Entries hold a strong
-# reference to the device array so ids cannot be reused.
-_HOST_CHILD: dict = {}
+# reference to the device array so ids cannot be reused.  Eviction is
+# LRU one-at-a-time (an all-at-once clear() would silently drop LIVE
+# trees to sched=None scan fallbacks mid-analysis).
+_HOST_CHILD: collections.OrderedDict = collections.OrderedDict()
+_HOST_CHILD_CAP = 4096
+
+_log = logging.getLogger("phyml_tpu")
 
 
 def tree_arrays(rv, dtype=jnp.float32) -> TreeArrays:
     child = jnp.asarray(rv.child, dtype=jnp.int32)
-    if len(_HOST_CHILD) > 4096:
-        _HOST_CHILD.clear()
     _HOST_CHILD[id(child)] = (child, np.asarray(rv.child))
+    _HOST_CHILD.move_to_end(id(child))
+    while len(_HOST_CHILD) > _HOST_CHILD_CAP:
+        _HOST_CHILD.popitem(last=False)
     return TreeArrays(
         child=child,
         blen=jnp.asarray(rv.node_blen, dtype=dtype),
@@ -135,7 +143,16 @@ class LikelihoodEngine:
         st = slot_tile_size(self.n_otu, self.slot_count, self.C,
                             self.ns)
         self.slot_tile = st if (use_pallas and st >= 128) else 0
-        self._sched_cache: dict = {}
+        self._sched_cache: collections.OrderedDict = \
+            collections.OrderedDict()
+        self._sched_warned = False
+        # P-matrix cache for host entry points: pmats depend only on
+        # (eigensystem, branch lengths); repeated evaluations of the
+        # same tree (bootstrap weight resampling, support statistics,
+        # parameter-held sweeps) skip the ~25 us pmat dispatch
+        # entirely (measured r5: 37 -> 28 us per full likelihood).
+        self._pm_cache: collections.OrderedDict = \
+            collections.OrderedDict()
         # off-TPU the kernel runs in interpret mode (tests force
         # use_pallas=True on the virtual CPU mesh)
         self.pallas_interpret = bool(self.pallas_tile) and \
@@ -281,26 +298,50 @@ class LikelihoodEngine:
         from phyml_tpu.ops.pallas_clv_slots import build_slot_schedule
         hit = self._sched_cache.get(id(child))
         if hit is not None:
+            self._sched_cache.move_to_end(id(child))
             return hit[1]
         host = _HOST_CHILD.get(id(child))
         if host is None:
             # child did not come through tree_arrays (e.g. built
             # inside another trace): reading it back from the device
             # would poison the dispatch path — caller must fall back
+            if not self._sched_warned:
+                self._sched_warned = True
+                _log.info(
+                    "slot-kernel path unavailable for a topology not "
+                    "built via tree_arrays(); using the scan fallback "
+                    "(logged once)")
             return None
         child_np = host[1]
         sched, n_slots = build_slot_schedule(self.n_otu, child_np)
         assert n_slots <= self.slot_count, (n_slots, self.slot_count)
         sched = jnp.asarray(sched)
-        if len(self._sched_cache) > 1024:
-            self._sched_cache.clear()
         self._sched_cache[id(child)] = (child, sched)
+        while len(self._sched_cache) > 1024:
+            self._sched_cache.popitem(last=False)
         return sched
 
-    def _site_logliks_slots(self, sys, tree, sched):
+    # ------------------------------------------------------------------
+    # host-side P-matrix cache (system x branch-length identity)
+    # ------------------------------------------------------------------
+    def _pm_get(self, sys, tree):
+        key = (id(sys), id(tree.blen))
+        hit = self._pm_cache.get(key)
+        if hit is None:
+            return None
+        self._pm_cache.move_to_end(key)
+        return hit[2]
+
+    def _pm_store(self, sys, tree, pmats):
+        # strong refs to sys and blen keep their ids from being reused
+        self._pm_cache[(id(sys), id(tree.blen))] = (sys, tree.blen,
+                                                    pmats)
+        while len(self._pm_cache) > 32:
+            self._pm_cache.popitem(last=False)
+
+    def _site_logliks_slots_pm(self, sys, pmats, sched):
         from phyml_tpu.ops.pallas_clv_slots import uppass_site_lse_slots
         lam, V, Vinv, pi, w, pinv = sys
-        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
         lse = uppass_site_lse_slots(
             sched, self.tips, pmats, pi,
             jnp.log(jnp.maximum(w, self._tiny)),
@@ -310,47 +351,115 @@ class LikelihoodEngine:
         ).astype(self.dtype)
         return self._mix_invar(lse, pi, w, pinv)
 
-    @property
-    def _jit_loglik_slots(self):
-        fn = getattr(self, "_jit_loglik_slots_", None)
+    def _site_logliks_slots(self, sys, tree, sched):
+        lam, V, Vinv, pi, w, pinv = sys
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        return self._site_logliks_slots_pm(sys, pmats, sched)
+
+    def _jit_cached(self, name, f):
+        fn = getattr(self, name, None)
         if fn is None:
-            def f(sys, tree, sched, weights):
-                site = self._site_logliks_slots(sys, tree, sched)
-                return jnp.sum(site.astype(jnp.float64) * weights)
             fn = jax.jit(self.bind_data(f))
-            self._jit_loglik_slots_ = fn
+            setattr(self, name, fn)
         return fn
+
+    @property
+    def _jit_loglik_slots2(self):
+        def f(sys, tree, sched, weights):
+            lam, V, Vinv, pi, w, pinv = sys
+            pmats = self._pmats(lam, V, Vinv,
+                                tree.blen.astype(self.dtype))
+            site = self._site_logliks_slots_pm(sys, pmats, sched)
+            return jnp.sum(site.astype(jnp.float64) * weights), pmats
+        return self._jit_cached("_jit_loglik_slots2_", f)
+
+    @property
+    def _jit_loglik_slots_pm(self):
+        def f(sys, pmats, sched, weights):
+            site = self._site_logliks_slots_pm(sys, pmats, sched)
+            return jnp.sum(site.astype(jnp.float64) * weights)
+        return self._jit_cached("_jit_loglik_slots_pm_", f)
 
     @property
     def _jit_site_logliks_slots(self):
-        fn = getattr(self, "_jit_site_logliks_slots_", None)
-        if fn is None:
-            fn = jax.jit(self.bind_data(self._site_logliks_slots))
-            self._jit_site_logliks_slots_ = fn
-        return fn
+        return self._jit_cached("_jit_site_logliks_slots_",
+                                self._site_logliks_slots)
+
+    @property
+    def _jit_site_logliks_slots_pm(self):
+        return self._jit_cached("_jit_site_logliks_slots_pm_",
+                                self._site_logliks_slots_pm)
+
+    @property
+    def _jit_loglik_sys2(self):
+        def f(sys, tree, weights):
+            lam, V, Vinv, pi, w, pinv = sys
+            pmats = self._pmats(lam, V, Vinv,
+                                tree.blen.astype(self.dtype))
+            site = self._site_logliks_pm(sys, pmats, tree.child)
+            return jnp.sum(site.astype(jnp.float64) * weights), pmats
+        return self._jit_cached("_jit_loglik_sys2_", f)
+
+    @property
+    def _jit_loglik_pm(self):
+        def f(sys, pmats, child, weights):
+            site = self._site_logliks_pm(sys, pmats, child)
+            return jnp.sum(site.astype(jnp.float64) * weights)
+        return self._jit_cached("_jit_loglik_pm_", f)
+
+    @property
+    def _jit_site_logliks_pm(self):
+        return self._jit_cached("_jit_site_logliks_pm_",
+                                self._site_logliks_pm)
+
+    def _use_slot(self):
+        return (self.slot_tile and not self.pallas_tile
+                and self._mesh is None)
 
     def loglik(self, params, tree, weights=None):
+        sys = self.system_of(params)
         # slot path: beyond the dense kernel's scale ceiling only
         # (where it fits, the dense kernel measures equal-or-faster)
-        if self.slot_tile and not self.pallas_tile \
-                and self._mesh is None:
+        if self._use_slot():
             sched = self._slot_sched(tree.child)
             if sched is not None:
-                return self._jit_loglik_slots(
-                    self.data(), self.system_of(params), tree,
-                    sched, self._w(weights))
-        return self._jit_loglik_sys(self.data(), self.system_of(params),
-                                    tree, self._w(weights))
+                pm = self._pm_get(sys, tree)
+                if pm is not None:
+                    return self._jit_loglik_slots_pm(
+                        self.data(), sys, pm, sched, self._w(weights))
+                lnl, pmats = self._jit_loglik_slots2(
+                    self.data(), sys, tree, sched, self._w(weights))
+                self._pm_store(sys, tree, pmats)
+                return lnl
+        if self._mesh is not None:
+            return self._jit_loglik_sys(self.data(), sys, tree,
+                                        self._w(weights))
+        pm = self._pm_get(sys, tree)
+        if pm is not None:
+            return self._jit_loglik_pm(self.data(), sys, pm,
+                                       tree.child, self._w(weights))
+        lnl, pmats = self._jit_loglik_sys2(self.data(), sys, tree,
+                                           self._w(weights))
+        self._pm_store(sys, tree, pmats)
+        return lnl
 
     def site_logliks(self, params, tree):
-        if self.slot_tile and not self.pallas_tile \
-                and self._mesh is None:
+        sys = self.system_of(params)
+        if self._use_slot():
             sched = self._slot_sched(tree.child)
             if sched is not None:
+                pm = self._pm_get(sys, tree)
+                if pm is not None:
+                    return self._jit_site_logliks_slots_pm(
+                        self.data(), sys, pm, sched)
                 return self._jit_site_logliks_slots(
-                    self.data(), self.system_of(params), tree, sched)
-        return self._jit_site_logliks_sys(self.data(),
-                                          self.system_of(params), tree)
+                    self.data(), sys, tree, sched)
+        if self._mesh is None:
+            pm = self._pm_get(sys, tree)
+            if pm is not None:
+                return self._jit_site_logliks_pm(self.data(), sys, pm,
+                                                 tree.child)
+        return self._jit_site_logliks_sys(self.data(), sys, tree)
 
     def loglik_full(self, params, tree, weights=None):
         return self._jit_loglik_full(self.data(), params, tree,
@@ -552,18 +661,32 @@ class LikelihoodEngine:
 
     def _site_loglik_fused_sys(self, sys, tree: TreeArrays,
                                interpret=None):
+        lam, V, Vinv, pi, w, pinv = sys
+        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
+        return self._site_loglik_fused_pm(sys, pmats, tree.child,
+                                          interpret)
+
+    def _site_loglik_fused_pm(self, sys, pmats, child, interpret=None):
         from phyml_tpu.ops.pallas_clv import uppass_site_lse
         if interpret is None:
             interpret = self.pallas_interpret
         lam, V, Vinv, pi, w, pinv = sys
-        pmats = self._pmats(lam, V, Vinv, tree.blen.astype(self.dtype))
         lse = uppass_site_lse(
-            tree.child, self.tips, pmats, pi,
+            child, self.tips, pmats, pi,
             jnp.log(jnp.maximum(w, self._tiny)),
             n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
             ns=self.ns, T=self.pallas_tile, interpret=interpret,
         ).astype(self.dtype)
         return self._mix_invar(lse, pi, w, pinv)
+
+    def _site_logliks_pm(self, sys, pmats, child):
+        """Site log-likelihoods from precomputed P-matrices (the
+        host pm-cache path; unsharded only)."""
+        if self.pallas_tile and self._mesh is None:
+            return self._site_loglik_fused_pm(sys, pmats, child)
+        lam, V, Vinv, pi, w, pinv = sys
+        pup, _, sc = self._up_pass(pmats, child)
+        return self._root_site_loglik(pup, sc, pi, w, pinv)
 
     def attach_mesh(self, mesh, axis: str = "sites"):
         """Run the fused kernel per-shard under shard_map over `axis`
