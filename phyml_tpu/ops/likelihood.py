@@ -143,6 +143,15 @@ class LikelihoodEngine:
         st = slot_tile_size(self.n_otu, self.slot_count, self.C,
                             self.ns)
         self.slot_tile = st if (use_pallas and st >= 128) else 0
+        # streamed slot variant: pmats/tips DMA'd from HBM per step;
+        # covers problems past even the slot kernel's pmats-in-VMEM
+        # ceiling (~400-taxon AA)
+        from phyml_tpu.ops.pallas_clv_slots import slot_stream_tile_size
+        sst = 0
+        if use_pallas and not self.slot_tile:
+            sst = slot_stream_tile_size(self.n_otu, self.slot_count,
+                                        self.C, self.ns)
+        self.slot_stream_tile = sst if sst >= 128 else 0
         self._sched_cache: collections.OrderedDict = \
             collections.OrderedDict()
         self._sched_warned = False
@@ -167,6 +176,19 @@ class LikelihoodEngine:
         self.P = max(quantum, int(
             math.ceil(P_raw / quantum) * quantum
         ))
+        # align the padded pattern count with the dominant kernel's
+        # tile: padding to the bare lane quantum can land on a prime
+        # multiple of 128 (e.g. 3932 patterns -> P=3968=31*128) that
+        # forces the divisibility loops below down to a 128-wide tile,
+        # ~3x slower than the VMEM-optimal tile.  Only when the caller
+        # did not demand a custom quantum (sharded engines pad to
+        # 128*n_shards).
+        if use_pallas and quantum == 128:
+            tq = tile if tile >= 128 else (
+                st if st >= 128 else (sst if sst >= 128 else 0))
+            if tq:
+                tq = min(tq, self.P)
+                self.P = max(tq, int(math.ceil(P_raw / tq) * tq))
         pad = self.P - P_raw
         # both kernel tiles must divide the padded pattern count;
         # padding to the lane quantum (not to a tile) keeps P minimal
@@ -180,6 +202,10 @@ class LikelihoodEngine:
             self.slot_tile -= 128
         if self.slot_tile < 128:
             self.slot_tile = 0
+        while self.slot_stream_tile and self.P % self.slot_stream_tile:
+            self.slot_stream_tile -= 128
+        if self.slot_stream_tile < 128:
+            self.slot_stream_tile = 0
         # fused up+down+dotprods kernel (ops/pallas_edotp.py) for the
         # optimizer/search hot path; 0 -> scan fallback
         from phyml_tpu.ops.pallas_edotp import edotp_tile_size
@@ -190,6 +216,20 @@ class LikelihoodEngine:
             self.edotp_tile -= 128
         if self.edotp_tile < 128:
             self.edotp_tile = 0
+        # streamed variant: outputs + pmats DMA'd to/from HBM, so it
+        # stays active far beyond the all-VMEM kernel's ceiling
+        # (200-taxon DNA, 128-taxon AA); used only when the all-VMEM
+        # kernel does not fit (it is faster where it does).
+        from phyml_tpu.ops.pallas_edotp import edotp_stream_tile_size
+        self.edotp_stream_tile = 0
+        if not self.edotp_tile and use_pallas and dtype == jnp.float32:
+            est = edotp_stream_tile_size(self.n_otu, self.C, self.ns)
+            self.edotp_stream_tile = est if est >= 128 else 0
+            while self.edotp_stream_tile and \
+                    self.P % self.edotp_stream_tile:
+                self.edotp_stream_tile -= 128
+            if self.edotp_stream_tile < 128:
+                self.edotp_stream_tile = 0
         self._interp = jax.default_backend() != "tpu"
 
         tips = np.transpose(aln.partials, (0, 2, 1))  # [n_otu, ns, P_raw]
@@ -340,16 +380,24 @@ class LikelihoodEngine:
             self._pm_cache.popitem(last=False)
 
     def _site_logliks_slots_pm(self, sys, pmats, sched):
-        from phyml_tpu.ops.pallas_clv_slots import uppass_site_lse_slots
+        from phyml_tpu.ops.pallas_clv_slots import (
+            uppass_site_lse_slots, uppass_site_lse_slots_stream,
+        )
         lam, V, Vinv, pi, w, pinv = sys
-        lse = uppass_site_lse_slots(
-            sched, self.tips, pmats, pi,
-            jnp.log(jnp.maximum(w, self._tiny)),
-            n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
-            ns=self.ns, n_slots=self.slot_count, T=self.slot_tile,
-            interpret=self._interp,
-        ).astype(self.dtype)
-        return self._mix_invar(lse, pi, w, pinv)
+        logw = jnp.log(jnp.maximum(w, self._tiny))
+        if self.slot_tile:
+            lse = uppass_site_lse_slots(
+                sched, self.tips, pmats, pi, logw,
+                n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
+                ns=self.ns, n_slots=self.slot_count,
+                T=self.slot_tile, interpret=self._interp)
+        else:
+            lse = uppass_site_lse_slots_stream(
+                sched, self.tips, pmats, pi, logw,
+                n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
+                ns=self.ns, n_slots=self.slot_count,
+                T=self.slot_stream_tile, interpret=self._interp)
+        return self._mix_invar(lse.astype(self.dtype), pi, w, pinv)
 
     def _site_logliks_slots(self, sys, tree, sched):
         lam, V, Vinv, pi, w, pinv = sys
@@ -413,8 +461,9 @@ class LikelihoodEngine:
                                 self._site_logliks_pm)
 
     def _use_slot(self):
-        return (self.slot_tile and not self.pallas_tile
-                and self._mesh is None)
+        return ((self.slot_tile or
+                 getattr(self, "slot_stream_tile", 0))
+                and not self.pallas_tile and self._mesh is None)
 
     def loglik(self, params, tree, weights=None):
         sys = self.system_of(params)
@@ -824,6 +873,17 @@ class LikelihoodEngine:
                 tree.child, self.tips, pmats, V, Vinv, pi,
                 n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
                 ns=self.ns, T=self.edotp_tile,
+                interpret=self._interp)
+            d = d.astype(self.dtype)
+            sc_d = sc_d.astype(self.dtype)
+        elif getattr(self, "edotp_stream_tile", 0):
+            from phyml_tpu.ops.pallas_edotp import (
+                edge_dotprods_pallas_stream,
+            )
+            d, sc_d = edge_dotprods_pallas_stream(
+                tree.child, self.tips, pmats, V, Vinv, pi,
+                n_otu=self.n_otu, n_int=self.n_internal, C=self.C,
+                ns=self.ns, T=self.edotp_stream_tile,
                 interpret=self._interp)
             d = d.astype(self.dtype)
             sc_d = sc_d.astype(self.dtype)

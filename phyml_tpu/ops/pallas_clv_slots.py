@@ -268,3 +268,193 @@ def uppass_site_lse_slots(sched, tips, pmats, pi, logw, *, n_otu,
             logw.astype(jnp.float32).reshape(C, 1),
         )
     return lse[0]
+
+
+# ----------------------------------------------------------------------
+# Streamed variant: P-matrices and tip rows DMA'd from HBM per step
+# ----------------------------------------------------------------------
+
+def slot_stream_tile_size(n_otu: int, n_slots: int, C: int, ns: int,
+                          budget: int = 14 * 1024 * 1024) -> int:
+    """Tile for uppass_site_lse_slots_stream: pmats/tips live in HBM
+    and are fetched per schedule step into double-buffered rings, so
+    VMEM holds only the slot scratch.  This removes the slot kernel's
+    own ceiling (pmats [n_nodes, C, ns, ns] VMEM-resident), which
+    killed it at ~400-taxon AA; the streamed variant runs 1000+ taxa
+    AA and arbitrary DNA."""
+    lpad = -(-ns // _LANE) * _LANE
+    spad = ns if ns in (1, 2, 4, 8) else -(-ns // 8) * 8
+    per_col = (n_slots * C * (ns + 1) * 4    # slots + scales
+               + 4 * spad * 4               # tip ring
+               + 4 * 2)                     # output row
+    fixed = 2 * 2 * C * spad * lpad * 4     # pm ring
+    avail = budget - fixed
+    if avail <= 0:
+        return 0
+    t = (avail // per_col) // _LANE * _LANE
+    return min(int(t), 1024)
+
+
+def _slot_stream_kernel(sched_ref, tips_hbm, pmats_hbm, pi_ref,
+                        logw_ref, lse_ref, slot_scr, sc_scr, pm_ring,
+                        tip_ring, sem_pm, sem_tip, *, n_otu, n_int, C,
+                        ns, spad, n_slots, T, tiny):
+    """Slot kernel with per-step DMA of P-matrices and tip rows.
+
+    sched_ref : SMEM int32 [n_int, 7] (build_slot_schedule)
+    tips_hbm  : HBM [n_otu, spad, P]
+    pmats_hbm : HBM [n_nodes, C, spad, lpad]
+    """
+    off = pl.program_id(0) * T
+    dn = (((2,), (1,)), ((0,), (0,)))
+
+    def matvec(pm, x):
+        if ns <= 8:
+            acc = pm[:, :, 0][:, :, None] * x[:, 0][:, None, :]
+            for y in range(1, ns):
+                acc = acc + pm[:, :, y][:, :, None] \
+                    * x[:, y][:, None, :]
+            return acc
+        return lax.dot_general(
+            pm, x, dn, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+
+    def fetch(i, slot):
+        c0 = sched_ref[i, 0]
+        c1 = sched_ref[i, 3]
+        pltpu.make_async_copy(pmats_hbm.at[c0], pm_ring.at[slot, 0],
+                              sem_pm.at[slot, 0]).start()
+        pltpu.make_async_copy(pmats_hbm.at[c1], pm_ring.at[slot, 1],
+                              sem_pm.at[slot, 1]).start()
+        t0 = jnp.minimum(c0, n_otu - 1)
+        t1 = jnp.minimum(c1, n_otu - 1)
+        pltpu.make_async_copy(tips_hbm.at[t0, :, pl.ds(off, T)],
+                              tip_ring.at[slot, 0],
+                              sem_tip.at[slot, 0]).start()
+        pltpu.make_async_copy(tips_hbm.at[t1, :, pl.ds(off, T)],
+                              tip_ring.at[slot, 1],
+                              sem_tip.at[slot, 1]).start()
+
+    def fetch_wait(slot):
+        for j in range(2):
+            pltpu.make_async_copy(pmats_hbm.at[0],
+                                  pm_ring.at[slot, j],
+                                  sem_pm.at[slot, j]).wait()
+            pltpu.make_async_copy(tips_hbm.at[0, :, pl.ds(0, T)],
+                                  tip_ring.at[slot, j],
+                                  sem_tip.at[slot, j]).wait()
+
+    def child_pup(ring, is_tip, slot, j):
+        tip_clv = jnp.broadcast_to(
+            tip_ring[ring, j][0:ns][None], (C, ns, T))
+        slot_clv = slot_scr[jnp.where(is_tip == 1, 0, slot)]
+        clv = jnp.where(is_tip == 1, tip_clv, slot_clv)
+        sc = jnp.where(is_tip == 1,
+                       jnp.zeros((C, T), jnp.float32),
+                       sc_scr[jnp.where(is_tip == 1, 0, slot)])
+        return matvec(pm_ring[ring, j, :, 0:ns, 0:ns], clv), sc
+
+    fetch(0, 0)
+
+    def step(i, _):
+        ring = lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_int)
+        def _():
+            fetch(i + 1, 1 - ring)
+        fetch_wait(ring)
+        t0 = sched_ref[i, 1]
+        s0 = sched_ref[i, 2]
+        t1 = sched_ref[i, 4]
+        s1 = sched_ref[i, 5]
+        dst = sched_ref[i, 6]
+        p0, sca = child_pup(ring, t0, s0, 0)
+        p1, scb = child_pup(ring, t1, s1, 1)
+        x = p0 * p1
+        m = jnp.maximum(jnp.max(x, axis=1), tiny)
+        bits = lax.bitcast_convert_type(m, jnp.int32)
+        e = (bits >> 23) & 0xFF
+        factor = lax.bitcast_convert_type((254 - e) << 23,
+                                          jnp.float32)
+        slot_scr[dst] = x * factor[:, None, :]
+        sc_scr[dst] = sca + scb + (e - 127).astype(jnp.float32)
+        return 0
+
+    lax.fori_loop(0, n_int, step, 0)
+
+    root_dst = sched_ref[n_int - 1, 6]
+    x = slot_scr[root_dst]
+    lroot = jnp.sum(pi_ref[:][:, :, None] * x, axis=1)
+    lroot = jnp.maximum(lroot, tiny)
+    a = logw_ref[:] + sc_scr[root_dst] * 0.6931471805599453 \
+        + jnp.log(lroot)
+    amax = jnp.max(a, axis=0, keepdims=True)
+    lse_ref[:] = amax + jnp.log(
+        jnp.sum(jnp.exp(a - amax), axis=0, keepdims=True))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_otu", "n_int", "C", "ns", "n_slots",
+                              "T", "interpret"))
+def uppass_site_lse_slots_stream(sched, tips, pmats, pi, logw, *,
+                                 n_otu, n_int, C, ns, n_slots, T,
+                                 interpret=False):
+    """Streamed twin of uppass_site_lse_slots (same contract); use
+    when slot_tile_size returns 0 but slot_stream_tile_size is
+    positive (very large AA/covarion problems)."""
+    n_nodes = n_otu + n_int
+    P = tips.shape[-1]
+    tiny = float(np.finfo(np.float32).tiny)
+    lpad = -(-ns // _LANE) * _LANE
+    spad = ns if ns in (1, 2, 4, 8) else -(-ns // 8) * 8
+
+    kern = functools.partial(
+        _slot_stream_kernel, n_otu=n_otu, n_int=n_int, C=C, ns=ns,
+        spad=spad, n_slots=n_slots, T=T, tiny=tiny)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # tips (spad)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # pmats (padded)
+            pl.BlockSpec((C, ns), lambda p, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda p, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T), lambda p, s: (0, p),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, C, ns, T), jnp.float32),
+            pltpu.VMEM((n_slots, C, T), jnp.float32),
+            pltpu.VMEM((2, 2, C, spad, lpad), jnp.float32),
+            pltpu.VMEM((2, 2, spad, T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    flops = 2 * n_nodes * C * ns * ns * P + 4 * n_nodes * C * ns * P
+    pm_pad = jnp.pad(pmats.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, spad - ns),
+                      (0, lpad - ns)))
+    tips_pad = jnp.pad(tips.astype(jnp.float32),
+                       ((0, 0), (0, spad - ns), (0, 0)))
+    with jax.enable_x64(False):
+        lse = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=(tips.size + pmats.size + P) * 4,
+                transcendentals=n_nodes * C * P,
+            ),
+            interpret=interpret,
+        )(
+            sched.astype(jnp.int32),
+            tips_pad,
+            pm_pad,
+            pi.astype(jnp.float32),
+            logw.astype(jnp.float32).reshape(C, 1),
+        )
+    return lse[0]

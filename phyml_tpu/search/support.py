@@ -248,6 +248,7 @@ def bootstrap_supports_batched(
     keep_trees: bool = False,
     max_rounds: int = 25,
     min_gain: float = 1e-4,
+    rep_chunk: int | None = None,
 ):
     """Device-batched bootstrap: ALL replicates advance together.
 
@@ -260,6 +261,12 @@ def bootstrap_supports_batched(
     rapid-bootstrap approximation; bootstrap_supports re-estimates
     them per replicate (the reference's exact behavior) at serial
     cost.  Returns {edge id: support in [0, 1]}.
+
+    rep_chunk bounds how many replicates ride in one device batch
+    (the vmapped scorers materialize ~[B, n_nodes, C, ns, P] tensors;
+    at BASELINE-config-5 scale 100 replicates would blow HBM).  The
+    default caps the working set at a few GB; per-replicate seeding
+    makes the chunked result identical to the single-batch one.
     """
     import jax.numpy as jnp
 
@@ -270,6 +277,32 @@ def bootstrap_supports_batched(
         _apply_swaps, _select_disjoint, candidate_arrays,
         nni_scores_batched,
     )
+
+    if rep_chunk is None:
+        per_rep = engine.n_nodes * engine.C * engine.ns * engine.P \
+            * 4 * 6
+        rep_chunk = max(1, min(n_replicates, int(3e9 // per_rep)))
+    if rep_chunk < n_replicates:
+        counts_all: dict = {}
+        trees_all: list = []
+        done = 0
+        while done < n_replicates:
+            m = min(rep_chunk, n_replicates - done)
+            out = bootstrap_supports_batched(
+                engine, model, params, best_topo, n_replicates=m,
+                seed=seed + done, bayesian=bayesian, tbe=tbe,
+                verbose=verbose, keep_trees=keep_trees,
+                max_rounds=max_rounds, min_gain=min_gain,
+                rep_chunk=m)
+            sup = out[0] if keep_trees else out
+            for eid, s in sup.items():
+                counts_all[eid] = counts_all.get(eid, 0.0) + s * m
+            if keep_trees:
+                trees_all.extend(out[1])
+            done += m
+        supports = {eid: c / n_replicates
+                    for eid, c in counts_all.items()}
+        return (supports, trees_all) if keep_trees else supports
 
     aln = engine.aln
     n = best_topo.n_otu

@@ -227,3 +227,104 @@ def test_edotp_kernel_matches_scan(nucleic):
                             use_pallas=True)
     _, lnl_kern = optimize_branch_lengths(eng2, p, ta)
     assert abs(lnl_scan - lnl_kern) < 0.05, (lnl_scan, lnl_kern)
+
+
+def test_edotp_stream_kernel_matches_scan(nucleic):
+    """Streamed edotp variant (VERDICT r4 #3): HBM-resident pmats and
+    per-node DMA'd d/sc_d outputs must reproduce the scan path's
+    per-edge terms — this is the kernel that stays active at
+    200-taxon DNA / 128-taxon AA where the all-VMEM kernel's
+    edotp_tile_size returns 0."""
+    import numpy as np
+
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.topology import Topology
+
+    m = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    eng = LikelihoodEngine(nucleic, m, dtype=jnp.float32,
+                           use_pallas=True)
+    p = m.init_params(nucleic.obs_state_freqs)
+    rng = np.random.default_rng(1)
+    topo = Topology.random(nucleic.n_otu, rng, mean_blen=0.1)
+    ta = tree_arrays(topo.rooted(), dtype=jnp.float32)
+    sysv = eng.system_of(p)
+
+    # force the streamed variant
+    eng.edotp_tile = 0
+    eng.edotp_stream_tile = min(
+        eng.P, 256 if eng.P % 256 == 0 else 128)
+    d_k, scd_k, aux = eng.edge_dotprods_sys(sysv, ta, eng.weights)
+    eng.edotp_stream_tile = 0
+    d_s, scd_s, _ = eng.edge_dotprods_sys(sysv, ta, eng.weights)
+    site_k, dln_k, _ = eng.edge_site_terms(
+        jnp.asarray(d_k), jnp.asarray(scd_k), aux, ta.blen)
+    site_s, dln_s, _ = eng.edge_site_terms(
+        jnp.asarray(d_s), jnp.asarray(scd_s), aux, ta.blen)
+    mask = np.ones(eng.n_nodes, bool)
+    mask[-1] = False
+    mask[int(np.asarray(ta.child)[-1, 1])] = False
+    Pr = nucleic.n_patterns
+    err = np.abs(np.asarray(site_k)[mask][:, :Pr]
+                 - np.asarray(site_s)[mask][:, :Pr]).max()
+    assert err < 2e-3, err
+
+
+def test_edotp_stream_tile_active_at_scale():
+    """The cliff is gone: the streamed tile is positive exactly where
+    the r4 verdict measured zeros (200-taxon DNA, 128-taxon AA)."""
+    from phyml_tpu.ops.pallas_edotp import (
+        edotp_stream_tile_size, edotp_tile_size,
+    )
+
+    assert edotp_tile_size(200, 4, 4) == 0        # the old cliff
+    assert edotp_stream_tile_size(200, 4, 4) >= 128
+    assert edotp_tile_size(128, 4, 20) == 0
+    assert edotp_stream_tile_size(128, 4, 20) >= 128
+    assert edotp_stream_tile_size(500, 4, 4) >= 128
+
+
+def test_slot_stream_kernel_matches_scan(nucleic):
+    """Streamed slot kernel (HBM pmats/tips): site log-likelihoods
+    match the scan path."""
+    import numpy as np
+
+    from phyml_tpu.models.substitution import SubstModel
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+    from phyml_tpu.topology import Topology
+
+    m = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    eng = LikelihoodEngine(nucleic, m, dtype=jnp.float32,
+                           use_pallas=True)
+    p = m.init_params(nucleic.obs_state_freqs)
+    rng = np.random.default_rng(2)
+    topo = Topology.random(nucleic.n_otu, rng, mean_blen=0.1)
+    ta = tree_arrays(topo.rooted(), dtype=jnp.float32)
+
+    # scan reference
+    eng.pallas_tile = 0
+    eng.slot_tile = 0
+    eng.slot_stream_tile = 0
+    site_ref = np.asarray(eng.site_logliks(p, ta))
+    # force the streamed slot path
+    eng.slot_stream_tile = min(eng.P, 256 if eng.P % 256 == 0 else 128)
+    assert eng._use_slot()
+    site_st = np.asarray(eng.site_logliks(p, ta))
+    Pr = nucleic.n_patterns
+    err = np.abs(site_ref[:Pr] - site_st[:Pr]).max()
+    assert err < 2e-3, err
+
+
+def test_slot_stream_tile_active_at_scale():
+    """The AA slot ceiling is gone: positive streamed tiles where the
+    VMEM-resident slot kernel returns 0 (>=400-taxon AA)."""
+    import math
+
+    from phyml_tpu.ops.pallas_clv_slots import (
+        slot_stream_tile_size, slot_tile_size,
+    )
+
+    for n in (400, 500, 1000):
+        slots = int(math.ceil(math.log2(n))) + 2
+        assert slot_tile_size(n, slots, 4, 20) == 0
+        assert slot_stream_tile_size(n, slots, 4, 20) >= 128, n
