@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-i", "--input", required=True,
                    help="PHYLIP/FASTA/NEXUS alignment")
-    p.add_argument("-d", "--datatype", choices=["nt", "aa"],
+    p.add_argument("-d", "--datatype",
+                   choices=["nt", "aa", "generic", "gen"],
                    default=None)
     p.add_argument("-q", "--sequential", action="store_true",
                    help="sequential (non-interleaved) PHYLIP")
@@ -51,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="proportion of invariant sites (or 'e')")
     p.add_argument("--free_rates", action="store_true",
                    help="FreeRate model instead of discrete gamma")
+    p.add_argument("--codpos", type=int, default=None,
+                   help="analyse only this codon position (1|2|3); "
+                        "reference cl.c:412-428")
+    p.add_argument("--aa_rate_file", default=None,
+                   help="PAML-format custom AA rate matrix "
+                        "(CUSTOMAA, reference cl.c:560-570)")
     p.add_argument("--il", action="store_true",
                    help="integrated-length model: each branch length "
                         "Gamma-distributed with variance blen*sigma, "
@@ -152,6 +159,17 @@ def _build_model(args, aln):
     from phyml_tpu.models.substitution import SubstModel, lg4x_model
 
     name = args.model
+    if aln.datatype == "generic":
+        # custom alphabet: JC over the inferred state count
+        # (cl.c:929-932, init.c:1519-1533)
+        return SubstModel(
+            datatype="generic",
+            generic_ns=int(aln.partials.shape[-1]),
+            n_classes=args.n_classes,
+            invar=(args.pinv == "e" or float(args.pinv or 0) > 0),
+            optimize_alpha="r" in args.optimize and args.alpha == "e",
+            optimize_pinv="r" in args.optimize and args.pinv == "e",
+        )
     if name is None:
         name = "HKY85" if aln.datatype == "nt" else "LG"
     if name.upper() == "LG4X":
@@ -178,9 +196,15 @@ def _build_model(args, aln):
         cov_mode = "free"
     elif args.cov_alpha is not None:
         cov_mode = "alpha"
+    custom_aa = None
+    if getattr(args, "aa_rate_file", None):
+        from phyml_tpu.models.matrices import read_paml_matrix
+        custom_aa = read_paml_matrix(args.aa_rate_file)
+        name = "CUSTOMAA"
     model = SubstModel(
         datatype=aln.datatype,
         name=name,
+        custom_aa=custom_aa,
         n_classes=args.n_classes,
         invar=(args.pinv == "e" or float(args.pinv or 0) > 0),
         freerate=args.free_rates,
@@ -274,6 +298,8 @@ def run_analysis(args) -> int:
     rng = np.random.default_rng(seed)
     site_w = read_site_weights(args.weights) if args.weights else None
 
+    if args.datatype == "gen":
+        args.datatype = "generic"
     if args.multiple > 1:
         alns = read_alignments_multi(
             args.input, args.multiple, datatype=args.datatype,
@@ -281,7 +307,8 @@ def run_analysis(args) -> int:
     else:
         alns = [read_alignment(args.input, datatype=args.datatype,
                                interleaved=not args.sequential,
-                               site_weights=site_w)]
+                               site_weights=site_w,
+                               codpos=args.codpos)]
     rc = 0
     for set_idx, aln in enumerate(alns):
         if len(alns) > 1 and not args.quiet:

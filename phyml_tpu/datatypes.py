@@ -14,9 +14,15 @@ import numpy as np
 
 NT = "nt"
 AA = "aa"
+GENERIC = "generic"
 
 NT_STATES = "ACGT"
 AA_STATES = "ARNDCQEGHILKMFPSTWYV"  # PhyML order (utilities.h AA indexing)
+# "natural numbers" custom alphabet (-d generic, utilities.h:303
+# GENERIC): digits then letters, supporting up to 36 states; the
+# state count is inferred from the data (the reference reads digit
+# states via Assign_State's GENERIC branch, utilities.c:3081+)
+GENERIC_STATES = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 # IUPAC nucleotide ambiguity codes -> compatible ACGT states
 # (phyml lk.c:60-120).  U is T; anything unknown is a full gap.
@@ -89,3 +95,44 @@ def state_index(enc: np.ndarray) -> np.ndarray:
     """[n_otu, n_sites] int32: argmax state for unambiguous columns
     (undefined where ambiguous)."""
     return enc.argmax(axis=-1).astype(np.int32)
+
+
+def encode_generic(seqs: list[str],
+                   ns: int | None = None) -> tuple[np.ndarray, int]:
+    """Encode a custom-alphabet ("natural numbers") alignment.
+
+    States are single characters from GENERIC_STATES (0-9, then
+    A-Z); '?', '-', 'X' and '.' are full ambiguity.  The state count
+    is the highest state seen + 1 unless given.  Returns
+    (enc [n_otu, n_sites, ns], ns).  Reference: -d generic with
+    whichmodel=JC69 over the inferred alphabet (cl.c:929-932,
+    init.c:1519-1533)."""
+    mat = np.frombuffer(
+        "".join(seqs).upper().encode("ascii"), dtype=np.uint8
+    ).reshape(len(seqs), -1)
+    idx = np.full(256, -2, dtype=np.int64)          # -2 = invalid
+    for i, c in enumerate(GENERIC_STATES):
+        idx[ord(c)] = i
+    for c in "?-.":
+        idx[ord(c)] = -1                            # -1 = ambiguous
+    # X doubles as a state letter in GENERIC_STATES; treat it as
+    # ambiguity only if it is never a plausible state (reference
+    # generic data is numeric) - keep it as state 33 for letters but
+    # remap when ns would stay below 34
+    states = idx[mat]
+    if (states == -2).any():
+        i, j = np.argwhere(states == -2)[0]
+        raise ValueError(
+            f"unrecognized character {chr(mat[i, j])!r} in sequence "
+            f"{i} site {j} for the generic datatype")
+    seen_max = int(states.max()) if (states >= 0).any() else 0
+    if ns is None:
+        ns = max(2, seen_max + 1)
+    elif seen_max >= ns:
+        raise ValueError(
+            f"generic state {seen_max} out of range for ns={ns}")
+    enc = np.zeros(states.shape + (ns,), dtype=np.float32)
+    amb = states < 0
+    enc[~amb, states[~amb]] = 1.0
+    enc[amb] = 1.0
+    return enc, ns

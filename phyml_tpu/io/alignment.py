@@ -172,9 +172,16 @@ def read_alignment(
     datatype: str | None = None,
     interleaved: bool = True,
     site_weights: np.ndarray | None = None,
+    codpos: int | None = None,
 ) -> Alignment:
     """Read PHYLIP / FASTA / NEXUS with format autodetection
-    (reference autodetect: io.c:973)."""
+    (reference autodetect: io.c:973).
+
+    codpos (1|2|3): keep only that codon position's sites before
+    pattern compression (--codpos, cl.c:412-428 +
+    Restrict_To_Coding_Position utilities.c:175-192).
+    datatype "generic": custom "natural numbers" alphabet with the
+    state count inferred from the data (-d generic, cl.c:929)."""
     with open(path) as fh:
         text = fh.read()
     stripped = text.lstrip()
@@ -185,10 +192,22 @@ def read_alignment(
         names, seqs, dt = parse_nexus_alignment(text)
         datatype = datatype or dt
     else:
-        names, seqs = parse_phylip(text, interleaved=interleaved)
+        names, seqs = parse_phylip(
+            text, interleaved=interleaved,
+            keep_digits=(datatype == datatypes.GENERIC))
     if datatype is None:
         datatype = guess_datatype(seqs)
-    enc = datatypes.encode_sequences([s.upper() for s in seqs], datatype)
+    if datatype == datatypes.GENERIC:
+        enc, _ns = datatypes.encode_generic(seqs)
+    else:
+        enc = datatypes.encode_sequences([s.upper() for s in seqs],
+                                         datatype)
+    if codpos is not None:
+        if codpos not in (1, 2, 3):
+            raise ValueError("codpos must be 1, 2 or 3")
+        enc = enc[:, codpos - 1::3]
+        if site_weights is not None:
+            site_weights = np.asarray(site_weights)[codpos - 1::3]
     return compact(enc, names, datatype, site_weights=site_weights)
 
 

@@ -109,6 +109,10 @@ def format_stats(
             L.append(". GTR relative rate parameters : ")
             for pr, r in zip(pairs, rr):
                 L.append(f"  {pr}    {r:.5f}")
+    elif model.datatype == "generic":
+        L.append(". State frequencies (custom alphabet):")
+        for i in range(len(pi1)):
+            L.append(f"  - f({i})=  {pi1[i]:.5f}")
     else:
         L.append(". Amino-acid frequencies")
         row = []

@@ -14,13 +14,16 @@ from __future__ import annotations
 import re
 
 
-def _clean(chunk: str) -> str:
-    """Strip whitespace and digits (position rulers) from sequence text."""
+def _clean(chunk: str, keep_digits: bool = False) -> str:
+    """Strip whitespace and (unless the datatype uses digit states,
+    e.g. -d generic) digits (position rulers) from sequence text."""
+    if keep_digits:
+        return re.sub(r"\s", "", chunk)
     return re.sub(r"[\s\d]", "", chunk)
 
 
 def parse_phylip(
-    text: str, interleaved: bool = True
+    text: str, interleaved: bool = True, keep_digits: bool = False
 ) -> tuple[list[str], list[str]]:
     """Return (names, sequences)."""
     lines = [ln for ln in text.splitlines()]
@@ -35,9 +38,9 @@ def parse_phylip(
     body = [ln for ln in lines[hi + 1:]]
 
     if interleaved:
-        names, seqs = _parse_interleaved(body, n_otu)
+        names, seqs = _parse_interleaved(body, n_otu, keep_digits)
     else:
-        names, seqs = _parse_sequential(body, n_otu, n_sites)
+        names, seqs = _parse_sequential(body, n_otu, n_sites, keep_digits)
 
     for nm, s in zip(names, seqs):
         if len(s) < n_sites:
@@ -48,7 +51,8 @@ def parse_phylip(
     return names, [s[:n_sites] for s in seqs]
 
 
-def _parse_interleaved(body: list[str], n_otu: int):
+def _parse_interleaved(body: list[str], n_otu: int,
+                       keep_digits: bool = False):
     names: list[str] = []
     seqs: list[str] = []
     row = 0
@@ -62,19 +66,21 @@ def _parse_interleaved(body: list[str], n_otu: int):
         if in_first_block and len(names) < n_otu:
             parts = line.split(None, 1)
             names.append(parts[0])
-            seqs.append(_clean(parts[1]) if len(parts) > 1 else "")
+            seqs.append(_clean(parts[1], keep_digits)
+                        if len(parts) > 1 else "")
             if len(names) == n_otu:
                 in_first_block = False
                 row = 0
         else:
-            seqs[row % n_otu] += _clean(line)
+            seqs[row % n_otu] += _clean(line, keep_digits)
             row += 1
     if len(names) != n_otu:
         raise ValueError(f"PHYLIP: expected {n_otu} taxa, found {len(names)}")
     return names, seqs
 
 
-def _parse_sequential(body: list[str], n_otu: int, n_sites: int):
+def _parse_sequential(body: list[str], n_otu: int, n_sites: int,
+                      keep_digits: bool = False):
     names: list[str] = []
     seqs: list[str] = []
     cur = ""
@@ -87,10 +93,11 @@ def _parse_sequential(body: list[str], n_otu: int, n_sites: int):
                 seqs.append(cur)
             parts = line.split(None, 1)
             names.append(parts[0])
-            cur = _clean(parts[1]) if len(parts) > 1 else ""
+            cur = _clean(parts[1], keep_digits) \
+                if len(parts) > 1 else ""
             started = True
         else:
-            cur += _clean(line)
+            cur += _clean(line, keep_digits)
     if started:
         seqs.append(cur)
     if len(seqs) != n_otu:
@@ -148,7 +155,7 @@ def parse_phylip_multi(
                         in_first = False
                         row = 0
                 else:
-                    seqs[row % n_otu] += _clean(line)
+                    seqs[row % n_otu] += _clean(line, keep_digits)
                     row += 1
                 pos += 1
         else:
@@ -166,10 +173,11 @@ def parse_phylip_multi(
                             break
                     parts = line.split(None, 1)
                     names.append(parts[0])
-                    cur = _clean(parts[1]) if len(parts) > 1 else ""
+                    cur = _clean(parts[1], keep_digits) \
+                if len(parts) > 1 else ""
                     started = True
                 else:
-                    cur += _clean(line)
+                    cur += _clean(line, keep_digits)
                 pos += 1
             if started and len(seqs) < n_otu:
                 seqs.append(cur)

@@ -49,8 +49,16 @@ RR_MIN, RR_MAX = 0.01, 100.0  # utilities.h clamps for GTR rates
 
 @dataclass
 class SubstModel:
-    datatype: str = "nt"              # "nt" | "aa"
+    datatype: str = "nt"              # "nt" | "aa" | "generic"
     name: str = "HKY85"
+    # custom-alphabet state count (-d generic, utilities.h:303): the
+    # engine is ns-generic, so a JC-type model over any alphabet size
+    # works end to end (reference: whichmodel=JC69, uniform freqs,
+    # init.c:1519-1533)
+    generic_ns: int = 0
+    # CUSTOMAA: (S [20,20], pi [20]) numpy pair from a PAML rate file
+    # (--aa_rate_file, cl.c:560-570); overrides the empirical table
+    custom_aa: Any = None
     n_classes: int = 4                # gamma / freerate classes
     gamma_median: bool = False
     invar: bool = False               # +I
@@ -81,6 +89,15 @@ class SubstModel:
 
     def __post_init__(self):
         self.name = self.name.upper()
+        if self.datatype == "generic":
+            if self.generic_ns < 2:
+                raise ValueError("generic datatype needs generic_ns")
+            # reference: uniform state frequencies, all rates equal
+            # (init.c:1519-1533)
+            self.name = "GENERIC"
+            self.freqs_mode = "fixed"
+            self.fixed_freqs = np.full(self.generic_ns,
+                                       1.0 / self.generic_ns)
         if self.freqs_mode is None:
             # reference default is empirical (counted) frequencies for
             # BOTH data types: run G's stats file prints the proteic
@@ -105,6 +122,8 @@ class SubstModel:
         """Observed (alphabet) states - what tips are encoded over."""
         if self.components is not None:
             return int(self.components[0][0].shape[-1])
+        if self.datatype == "generic":
+            return self.generic_ns
         return 4 if self.datatype == "nt" else 20
 
     @property
@@ -210,8 +229,16 @@ class SubstModel:
             comp_pi = jnp.stack(
                 [jnp.asarray(p_) for _, p_ in self.components]
             )
+        elif self.datatype == "generic":
+            # JC over the custom alphabet: unit exchangeabilities
+            S = jnp.broadcast_to(
+                jnp.ones((ns, ns)) - jnp.eye(ns), (C, ns, ns))
+            comp_pi = None
         elif self.datatype == "aa":
-            S_np, pi_np = matrices.empirical_aa(self.name)
+            if self.custom_aa is not None:
+                S_np, pi_np = self.custom_aa
+            else:
+                S_np, pi_np = matrices.empirical_aa(self.name)
             S = jnp.broadcast_to(jnp.asarray(S_np), (C, ns, ns))
             comp_pi = jnp.broadcast_to(jnp.asarray(pi_np), (C, ns))
         else:
