@@ -36,6 +36,11 @@ class PhyrexResult:
     sigma2: float               # movement variance per unit time
     anc_locations: np.ndarray   # [n_nodes, D] (tips = observed)
     summary: dict
+    # integrated movement models only (ibm/iwn/iou): exact posterior
+    # velocity draws from traits.posterior_state_samples
+    velocity_samples: np.ndarray | None = None   # [S, n_nodes, D]
+    velocity_mean: np.ndarray | None = None      # [n_nodes, D]
+    velocity_sd: np.ndarray | None = None
 
 
 def _mrca_all(child, n):
@@ -224,13 +229,34 @@ def run_phyrex(
     s2 = float(np.exp(state.log_s2x))
     scalers = (np.exp(np.asarray(state.trait_lr))
                if trait_kind == "rrw" else None)
+    vel_samples = vel_mean = vel_sd = None
     if trait_kind in ("rw", "rrw"):
         anc = ancestral_locations(dated, coords, s2,
                                   edge_scalers=scalers)
     else:
-        anc = np.full((dated.n_nodes, np.asarray(coords).shape[1]),
-                      np.nan)
-        anc[:dated.n_otu] = coords
+        # integrated movement models (ibm/iwn/iou): the latent
+        # (position, velocity) posterior is Gaussian, so ancestral
+        # locations AND velocities come from the exact smoother
+        # (traits.posterior_state_samples) conditional on the chain's
+        # final (genealogy, times, sigma^2) — replacing the
+        # reference's MH velocity moves (velocity.c:64/:213) with iid
+        # draws whose ESS equals the draw count by construction
+        from phyml_tpu.bayes.traits import posterior_state_samples
+        child_np = np.asarray(state.child)
+        parent = np.full(dated.n_nodes, dated.root, dtype=np.int64)
+        for i in range(dated.n_otu - 1):
+            parent[child_np[i, 0]] = dated.n_otu + i
+            parent[child_np[i, 1]] = dated.n_otu + i
+        dt = np.maximum(heights[parent] - heights, 0.0)
+        dt[dated.root] = 0.0
+        vel_samples, smean, ssd = posterior_state_samples(
+            trait_kind, np.asarray(coords), child_np, dt, s2,
+            n_samples=128,
+            rng=np.random.default_rng(
+                (settings.seed if settings else 0) + 99))
+        anc = smean[:, :, 0]
+        vel_mean = smean[:, :, 1]
+        vel_sd = ssd[:, :, 1]
     summary = {
         "n_iter": trace.shape[0],
         "posterior_final": float(trace[-1, 0]),
@@ -242,9 +268,20 @@ def run_phyrex(
         "acceptance": {nm: float(a) for nm, a
                        in zip(MCMC.MOVE_NAMES, acc)},
     }
+    if vel_samples is not None:
+        # exact iid draws: ESS == number of draws (reported per the
+        # usual autocorrelation estimator as a consistency check)
+        from phyml_tpu.bayes.diagnostics import effective_sample_size
+        root_v = vel_samples[:, child_np[-1, 0], 0, 1]
+        summary["velocity_ess"] = float(effective_sample_size(root_v))
+        summary["n_velocity_samples"] = int(vel_samples.shape[0])
     return PhyrexResult(tree=dated, state=state, trace=trace,
-                        acc_rate=acc, sigma2=s2, anc_locations=anc,
-                        summary=summary)
+                       acc_rate=acc, sigma2=s2, anc_locations=anc,
+                       summary=summary,
+                       velocity_samples=(
+                           None if vel_samples is None
+                           else vel_samples[:, :, :, 1]),
+                       velocity_mean=vel_mean, velocity_sd=vel_sd)
 
 
 def print_summary(res: PhyrexResult, out=sys.stdout) -> None:

@@ -344,6 +344,190 @@ def _parent_from_child(child, n):
     return parent.at[n_nodes - 1].set(n_nodes - 1)
 
 
+def _psd_sqrt(cov):
+    """Symmetric square root with negative eigenvalues (conditioning
+    cancellation noise) clamped to zero - Cholesky is too brittle for
+    posterior covariances whose observed components are exactly
+    deterministic."""
+    cov = 0.5 * (cov + cov.T)
+    w, U = np.linalg.eigh(cov)
+    w = np.clip(w, 0.0, None)
+    return U * np.sqrt(w)[None, :]
+
+
+def _mrca_table_all(child_np, n):
+    """[n_nodes, n_nodes] MRCA node ids for ALL node pairs (host-side,
+    topology-only)."""
+    n_nodes = 2 * n - 1
+    parent = np.full(n_nodes, n_nodes - 1, dtype=np.int64)
+    for i in range(n - 1):
+        parent[child_np[i, 0]] = n + i
+        parent[child_np[i, 1]] = n + i
+    anc_lists = []
+    for u in range(n_nodes):
+        p = [u]
+        while p[-1] != n_nodes - 1:
+            p.append(int(parent[p[-1]]))
+        anc_lists.append(p)
+    M = np.zeros((n_nodes, n_nodes), dtype=np.int64)
+    for i in range(n_nodes):
+        si = set(anc_lists[i])
+        for j in range(n_nodes):
+            M[i, j] = next(x for x in anc_lists[j] if x in si)
+    return M, parent
+
+
+def posterior_state_samples(kind, tip_x, child, dt, sigma2,
+                            theta=1.0, root_var=1e6,
+                            root_vel_var=None, n_samples=64,
+                            rng=None):
+    """EXACT posterior samples of all latent (position, velocity)
+    node states given the observed tip positions, for the integrated
+    movement models.
+
+    The reference samples velocities with Metropolis-Hastings over an
+    augmented likelihood (velocity.c:64 VELOC_Augmented_Lk_Locations,
+    :213 VELOC_Augmented_Lk_Velocity) and pays the usual mixing cost.
+    These models are linear-Gaussian, so the posterior over every
+    latent state is itself Gaussian with closed-form moments: this
+    routine assembles the joint prior covariance from the per-edge
+    (A, Q) transition products (the same T/G/Sigma algebra as
+    marginal_loglik), conditions on the tip positions, and draws iid
+    samples - effective sample size equals the number of draws by
+    construction.
+
+    IWN's transitions are singular (the velocity is redrawn each
+    edge), but given positions at both edge ends the edge velocity is
+    DETERMINED: v_u = (x_u - x_parent) / dt_u; so IWN routes through
+    scalar Brownian smoothing of positions.
+
+    Returns (samples [S, n_nodes, D, 2], mean [n_nodes, D, 2],
+    sd [n_nodes, D, 2]); state component 0 = position, 1 = velocity
+    (IWN: the velocity on the edge above the node; root velocity 0).
+
+    root_var is the (diffuse) prior variance on the root POSITION -
+    translation invariance demands it.  root_vel_var is the prior
+    variance on the root VELOCITY and defaults to the PROPER data
+    scale sigma2 * tree height: a diffuse velocity prior would let an
+    arbitrarily large global drift mode absorb the tip-position
+    signal and wreck velocity recovery (measured: correlation with
+    simulated truth flips to -0.6 under a 1e6 velocity prior vs +0.8
+    under the proper scale).
+    """
+    rng = rng or np.random.default_rng(0)
+    tip_x = np.asarray(tip_x, dtype=np.float64)
+    child_np = np.asarray(child)
+    dt = np.asarray(dt, dtype=np.float64)
+    n, D = tip_x.shape
+    n_nodes = 2 * n - 1
+    mrca, parent = _mrca_table_all(child_np, n)
+
+    if kind == IWN:
+        # positions are Brownian with per-edge variance s2*dt^2
+        ev = (sigma2 * dt * dt).copy()
+        ev[n_nodes - 1] = 0.0
+        # parents have higher postorder ids, so a descending sweep
+        # accumulates root->u path variances correctly
+        cum = np.zeros(n_nodes)
+        for u in range(n_nodes - 2, -1, -1):
+            cum[u] = cum[parent[u]] + ev[u]
+        C = root_var + cum[mrca]                       # [N, N]
+        obs = np.arange(n)
+        lat = np.arange(n, n_nodes)
+        Cyy = C[np.ix_(obs, obs)]
+        Cly = C[np.ix_(lat, obs)]
+        Cll = C[np.ix_(lat, lat)]
+        K = np.linalg.solve(Cyy, Cly.T).T              # [L, n]
+        mean_lat = K @ tip_x                           # [L, D]
+        cov_lat = Cll - K @ Cly.T
+        L = _psd_sqrt(cov_lat)
+        xs = np.empty((n_samples, n_nodes, D))
+        xs[:, :n] = tip_x
+        z = rng.standard_normal((n_samples, len(lat), D))
+        xs[:, n:] = mean_lat + np.einsum("ij,sjd->sid", L, z)
+        # velocities from increments
+        smp = np.zeros((n_samples, n_nodes, D, 2))
+        smp[..., 0] = xs
+        dts = np.maximum(dt, 1e-12)
+        for u in range(n_nodes - 1):
+            smp[:, u, :, 1] = (xs[:, u] - xs[:, parent[u]]) / dts[u]
+        # exact moments (positions exact; velocity moments propagate
+        # linearly from the position posterior)
+        mean_x = np.concatenate([tip_x, mean_lat], axis=0)
+        sd_x = np.zeros((n_nodes, 1))
+        sd_x[n:, 0] = np.sqrt(np.clip(np.diag(cov_lat), 0, None))
+        mean = np.zeros((n_nodes, D, 2))
+        sd = np.zeros((n_nodes, D, 2))
+        mean[..., 0] = mean_x
+        sd[..., 0] = sd_x
+        cov_full = np.zeros((n_nodes, n_nodes))
+        cov_full[np.ix_(range(n, n_nodes), range(n, n_nodes))] = \
+            cov_lat
+        for u in range(n_nodes - 1):
+            pu = parent[u]
+            mean[u, :, 1] = (mean_x[u] - mean_x[pu]) / dts[u]
+            var_v = (cov_full[u, u] + cov_full[pu, pu]
+                     - 2 * cov_full[u, pu]) / dts[u] ** 2
+            sd[u, :, 1] = np.sqrt(max(var_v, 0.0))
+        return smp, mean, sd
+
+    model = IntegratedModel(kind=kind)
+    import jax.numpy as _jnp
+    A, Q = model.transition(_jnp.asarray(dt), sigma2, theta)
+    A = np.array(A, dtype=np.float64)
+    Q = np.array(Q, dtype=np.float64)
+    eye = np.eye(2)
+    A[n_nodes - 1] = eye
+    Q[n_nodes - 1] = 0.0
+    if root_vel_var is None:
+        # proper prior at the natural scale: the velocity variance a
+        # Brownian velocity accumulates over one tree height
+        depth = np.zeros(n_nodes)
+        for u in range(n_nodes - 2, -1, -1):
+            depth[u] = depth[parent[u]] + dt[u]
+        root_vel_var = float(sigma2) * max(float(depth.max()), 1e-6)
+    T = np.zeros((n_nodes, 2, 2))
+    Sig = np.zeros((n_nodes, 2, 2))
+    T[n_nodes - 1] = eye
+    Sig[n_nodes - 1] = np.diag([root_var, root_vel_var])
+    for u in range(n_nodes - 2, -1, -1):
+        p = parent[u]
+        # parents always have higher postorder ids, so a descending
+        # sweep visits parents first
+        T[u] = A[u] @ T[p]
+        Sig[u] = A[u] @ Sig[p] @ A[u].T + Q[u]
+    Tinv = np.linalg.inv(T)
+    G = np.einsum("nij,njk,nlk->nil", Tinv, Sig, Tinv)
+    # joint covariance over all stacked states [N*2, N*2]
+    C = np.einsum("uip,uwpq,wjq->uiwj", T, G[mrca], T)
+    C = C.reshape(n_nodes * 2, n_nodes * 2)
+    obs = 2 * np.arange(n)                 # tip position components
+    lat = np.setdiff1d(np.arange(2 * n_nodes), obs)
+    Cyy = C[np.ix_(obs, obs)]
+    Cly = C[np.ix_(lat, obs)]
+    Cll = C[np.ix_(lat, lat)]
+    K = np.linalg.solve(Cyy, Cly.T).T
+    mean_lat = K @ tip_x
+    cov_lat = Cll - K @ Cly.T
+    L = _psd_sqrt(cov_lat)
+    flat = np.zeros((n_samples, 2 * n_nodes, D))
+    flat[:, obs] = tip_x
+    z = rng.standard_normal((n_samples, len(lat), D))
+    flat[:, lat] = mean_lat + np.einsum("ij,sjd->sid", L, z)
+    smp = flat.reshape(n_samples, n_nodes, 2, D).transpose(0, 1, 3, 2)
+    # exact posterior moments (not sample averages)
+    mean_flat = np.zeros((2 * n_nodes, D))
+    mean_flat[obs] = tip_x
+    mean_flat[lat] = mean_lat
+    sd_flat = np.zeros((2 * n_nodes, 1))
+    sd_flat[lat, 0] = np.sqrt(np.clip(np.diag(cov_lat), 0, None))
+    mean = mean_flat.reshape(n_nodes, 2, D).transpose(0, 2, 1)
+    sd = np.broadcast_to(
+        sd_flat.reshape(n_nodes, 2, 1), (n_nodes, 2, D)
+    ).transpose(0, 2, 1).copy()
+    return smp, mean, sd
+
+
 # ----------------------------------------------------------------------
 # dispatch (≙ LOCATION_Lk location.c:40)
 # ----------------------------------------------------------------------
