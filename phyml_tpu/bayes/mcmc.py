@@ -78,6 +78,15 @@ class MCMC:
         # r4 mixing additions (≙ mcmc.c:6591-6668 tuned-move depth):
         "updown_root_clock", "rate_exchange", "nu_rates_updown",
         "height_jitter", "updown_t_br", "subtree_rates",
+        # r5: the times-slice family (≙ MCMC_Time_Slice /
+        # MCMC_Times windows) + covarion parameters (≙ cov_rates /
+        # cov_switch, mcmc.c:6614-6615)
+        "time_slice", "time_slice_br", "cov_switch", "cov_rates",
+        # r5: gradient-informed joint move over (all heights, clock)
+        # - a capability the C reference cannot have; jax.grad flows
+        # through the likelihood scan, so one move updates every
+        # height with curvature-aware drift (MALA)
+        "mala_times",
     ]
 
     def __init__(self, engine, model, subst_params, time_tree,
@@ -139,8 +148,9 @@ class MCMC:
         self.parent = jnp.asarray(time_tree.parent, dtype=jnp.int32)
         self.tip_heights = jnp.asarray(time_tree.heights[:n])
         self.subst_fixed = dict(subst_params)
-        self._movable_subst = [k for k in ("kappa", "alpha")
-                               if k in subst_params]
+        self._movable_subst = [
+            k for k in ("kappa", "alpha", "cov_delta", "cov_alpha")
+            if k in subst_params]
         self.hyper_names = self.time_prior.hyper_names()
 
         # per-move step sizes (tuned on host during burn-in)
@@ -165,6 +175,11 @@ class MCMC:
             0.5,   # height_jitter (fraction of the (lo,hi) window)
             0.5,   # updown_t_br
             0.3,   # subtree_rates
+            0.3,   # time_slice
+            0.4,   # time_slice_br
+            0.3,   # cov_switch (delta)
+            0.3,   # cov_rates (alpha)
+            0.01,  # mala_times step (epsilon)
         ])
         has_tr = trait_x is not None
         w = np.array([
@@ -185,6 +200,19 @@ class MCMC:
             2.0 * (n - 2),          # height_jitter
             3.0 if rate_model.kind != STRICT else 0.0,  # updown_t_br
             2.0 if rate_model.kind != STRICT else 0.0,  # subtree_rates
+            1.5,                    # time_slice
+            (2.0 if rate_model.kind != STRICT else 0.0),
+            # time_slice_br (lnL-invariant, needs free rates)
+            5.0 if "cov_delta" in subst_params else 0.0,
+            5.0 if "cov_alpha" in subst_params else 0.0,
+            # mala_times: one move updates ALL heights + the clock;
+            # costs ~2 gradient evaluations, so weight it like a
+            # handful of scalar moves.  Requires a differentiable
+            # likelihood path (the scan engine; Pallas kernels have
+            # no VJP) and is disabled otherwise.
+            (0.5 * n) if (not getattr(engine, "pallas_tile", 0)
+                          and not getattr(engine, "slot_tile", 0)
+                          and not fastlk) else 0.0,
         ])
         if "kappa" not in subst_params:
             w[7] = 0.0
@@ -194,7 +222,21 @@ class MCMC:
             # expansion is only valid at the expansion-point model
             w[7] = w[8] = 0.0
             self._movable_subst = []
+        self._mala_enabled = bool(w[-1] > 0)
         self.move_w = jnp.asarray(w / w.sum())
+        # fixed MALA metric: per-node height scales from the initial
+        # tree's feasible windows (tips get 1 but are masked out)
+        h0 = np.asarray(time_tree.heights, dtype=np.float64)
+        par0 = np.asarray(time_tree.parent)
+        ch0 = np.asarray(time_tree.child)
+        mh = np.ones(self.n_nodes)
+        for i in range(n - 1):
+            u = n + i
+            lo = max(h0[ch0[i, 0]], h0[ch0[i, 1]])
+            hi = h0[par0[u]] if u != self.n_nodes - 1 \
+                else h0[u] * 1.5 + 1e-6
+            mh[u] = max(abs(hi - lo), 1e-4)
+        self._mala_mh = jnp.asarray(mh)
 
         if fastlk:
             from phyml_tpu.optim.fastlk import fit_normal_approx
@@ -566,6 +608,139 @@ class MCMC:
         log_r = jnp.where(mask, st.log_r + d, st.log_r)
         return st._replace(log_r=log_r), 0.0, True
 
+    def _mv_time_slice(self, st, key, step):
+        """Scale every node height ABOVE a random time slice tau by m
+        (h' = tau + m (h - tau)): a correlated update of all deep
+        nodes at once (≙ MCMC_Time_Slice, the reference's times-
+        window family mcmc.c:6591-6668).  Hastings: n_above log m."""
+        k1, k2 = jax.random.split(key)
+        tau = jax.random.uniform(k1, ()) * st.heights[self.root]
+        m = jnp.exp(step * (jax.random.uniform(k2, ()) - 0.5))
+        internal = jnp.arange(self.n_nodes) >= self.n_otu
+        above = internal & (st.heights > tau)
+        h = jnp.where(above, tau + m * (st.heights - tau), st.heights)
+        log_h = jnp.sum(above) * jnp.log(m)
+        return st._replace(heights=h), log_h, True
+
+    def _mv_time_slice_br(self, st, key, step):
+        """time_slice with exact branch-length compensation: rates on
+        every edge whose duration changed are rescaled by dt/dt', so
+        all branch lengths (and lnL) are invariant and only the
+        (times, rates) decomposition moves — the lnL-reuse companion
+        that makes deep-time mixing cheap (≙ MCMC_Updown_T_Br
+        generalized to a slice)."""
+        k1, k2 = jax.random.split(key)
+        tau = jax.random.uniform(k1, ()) * st.heights[self.root]
+        m = jnp.exp(step * (jax.random.uniform(k2, ()) - 0.5))
+        internal = jnp.arange(self.n_nodes) >= self.n_otu
+        above = internal & (st.heights > tau)
+        h_new = jnp.where(above, tau + m * (st.heights - tau),
+                          st.heights)
+        dt_old = (st.heights[st.parent] - st.heights
+                  ).at[self.root].set(1.0)
+        dt_new = (h_new[st.parent] - h_new).at[self.root].set(1.0)
+        eps = 1e-9
+        changed = jnp.abs(dt_new - dt_old) > 0.0
+        feasible = jnp.all(~changed | ((dt_new > eps)
+                                       & (dt_old > eps)))
+        safe = lambda x: jnp.maximum(x, eps)
+        comp = jnp.where(changed,
+                         jnp.log(safe(dt_old)) - jnp.log(safe(dt_new)),
+                         0.0)
+        log_h = jnp.where(feasible,
+                          jnp.sum(above) * jnp.log(m), NEG_INF)
+        prop = st._replace(
+            heights=jnp.where(feasible, h_new, st.heights),
+            log_r=st.log_r + jnp.where(feasible, comp, 0.0))
+        return prop, log_h, False
+
+    def _mv_mala_times(self, st, key, step):
+        """Metropolis-adjusted Langevin move over (all internal
+        heights, log clock): one gradient of the joint log-posterior
+        drives a curvature-aware drift, so every height moves together
+        in the direction the data wants.  The C reference has no
+        autodiff and cannot express this move; here jax.grad flows
+        through the same likelihood scan the chain already compiles.
+        Exact MALA Hastings with the reverse-gradient term."""
+        n = self.n_otu
+        internal = (jnp.arange(self.n_nodes) >= n).astype(jnp.float64)
+        non_root = (jnp.arange(self.n_nodes) != self.root
+                    ).astype(jnp.float64)
+        use_r = self.rate_model.kind != STRICT
+        r_mask = non_root * (1.0 if use_r else 0.0)
+        snames = list(self._movable_subst)
+
+        def logpost(h, lc, lr, lsub):
+            subst = dict(st.subst)
+            for j, nm in enumerate(snames):
+                subst[nm] = jnp.exp(lsub[j])
+            s2 = st._replace(heights=h, log_clock=lc, log_r=lr,
+                             subst=subst)
+            # + sum(lsub): Jacobian of the log-parameterization so
+            # the move targets the posterior of the ORIGINAL scalars
+            return self._lnL(s2) + self._log_prior(s2) + (
+                jnp.sum(lsub) if snames else 0.0)
+
+        lsub0 = (jnp.stack([jnp.log(st.subst[nm]) for nm in snames])
+                 if snames else jnp.zeros((0,)))
+        grad_fn = jax.grad(logpost, argnums=(0, 1, 2, 3))
+
+        def clean(g, mask):
+            return jnp.where(jnp.isfinite(g), g, 0.0) * mask
+
+        g_h, g_c, g_r, g_s = grad_fn(st.heights, st.log_clock,
+                                     st.log_r, lsub0)
+        g_h = clean(g_h, internal)
+        g_c = clean(g_c, 1.0)
+        g_r = clean(g_r, r_mask)
+        g_s = clean(g_s, 1.0)
+        eps = step
+        # diagonal preconditioner: each height moves on the scale of
+        # its feasible window in the INITIAL tree — a fixed metric,
+        # so the kernel is exact MALA (a state-dependent metric would
+        # need the Riemannian correction terms)
+        m_h = self._mala_mh
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        xi_h = jax.random.normal(k1, (self.n_nodes,)) * internal
+        xi_c = jax.random.normal(k2, ())
+        xi_r = jax.random.normal(k3, (self.n_nodes,)) * r_mask
+        xi_s = jax.random.normal(k4, (len(snames),))
+        e2h = eps * eps * m_h * m_h
+        h_new = st.heights + 0.5 * e2h * g_h + eps * m_h * xi_h * internal
+        c_new = st.log_clock + 0.5 * eps * eps * g_c + eps * xi_c
+        r_new = st.log_r + 0.5 * eps * eps * g_r + eps * xi_r
+        s_new = lsub0 + 0.5 * eps * eps * g_s + eps * xi_s
+        # reverse drift at the proposal
+        g_h2, g_c2, g_r2, g_s2 = grad_fn(h_new, c_new, r_new, s_new)
+        g_h2 = clean(g_h2, internal)
+        g_c2 = clean(g_c2, 1.0)
+        g_r2 = clean(g_r2, r_mask)
+        g_s2 = clean(g_s2, 1.0)
+
+        def logq(x_to, x_from, g_from, mask, scale):
+            mu = x_from + 0.5 * eps * eps * scale * scale * g_from
+            r = (x_to - mu) * mask / (eps * scale)
+            return -jnp.sum(r * r) / 2.0
+
+        log_h = (logq(st.heights, h_new, g_h2, internal, m_h)
+                 + logq(st.log_clock, c_new, g_c2, 1.0, 1.0)
+                 + logq(st.log_r, r_new, g_r2, r_mask, 1.0)
+                 + logq(lsub0, s_new, g_s2, 1.0, 1.0)
+                 - logq(h_new, st.heights, g_h, internal, m_h)
+                 - logq(c_new, st.log_clock, g_c, 1.0, 1.0)
+                 - logq(r_new, st.log_r, g_r, r_mask, 1.0)
+                 - logq(s_new, lsub0, g_s, 1.0, 1.0))
+        # the chain's accept ratio uses the ORIGINAL-space densities,
+        # so the log-parameterization's Jacobian enters as Hastings
+        if snames:
+            log_h = log_h + (jnp.sum(s_new) - jnp.sum(lsub0))
+        subst_new = dict(st.subst)
+        for j, nm in enumerate(snames):
+            subst_new[nm] = jnp.exp(s_new[j])
+        return (st._replace(heights=h_new, log_clock=c_new,
+                            log_r=r_new, subst=subst_new),
+                log_h, True)
+
     # ------------------------------------------------------------------
     def _step(self, st: ChainState, key, steps):
         kmv, kprop, kacc = jax.random.split(key, 3)
@@ -589,6 +764,12 @@ class MCMC:
             self._mv_height_jitter,
             self._mv_updown_t_br,
             self._mv_subtree_rates,
+            self._mv_time_slice,
+            self._mv_time_slice_br,
+            self._mv_subst("cov_delta", 0.01, 100.0),
+            self._mv_subst("cov_alpha", 0.01, 100.0),
+            self._mv_mala_times if self._mala_enabled
+            else self._mv_clock_scale,
         ]
 
         def branch(fn, i):
@@ -750,6 +931,173 @@ class MCMC:
         log_h = float(np.log(len(cands)) - np.log(R))
         return ch, pa, log_h
 
+    def _spr_times_weighted(self, child, parent, heights, rng,
+                            lam: float = 0.7):
+        """Prune-regraft at fixed height with LOCALITY-WEIGHTED target
+        choice: a spanning edge b is picked with probability
+        proportional to lam^hops(p, b) (topological distance), so
+        most proposals are small rearrangements that actually accept,
+        with the exact Hastings correction for the asymmetric choice
+        (≙ MCMC_Prune_Regraft_Weighted / spr_weighted,
+        mcmc.c:6604-6607)."""
+        n = self.n_otu
+        x = int(rng.integers(0, self.root))
+        p = int(parent[x])
+        if p == self.root:
+            return None
+        g = int(parent[p])
+        row_p = child[p - n]
+        s = int(row_p[1] if int(row_p[0]) == x else row_p[0])
+        hp = heights[p]
+
+        def path_to_root(pa, u):
+            out = [u]
+            while out[-1] != self.root:
+                out.append(int(pa[out[-1]]))
+            return out
+
+        def hops(pa, u, v):
+            pu = path_to_root(pa, u)
+            pv = path_to_root(pa, v)
+            su = {q: k for k, q in enumerate(pu)}
+            for k, q in enumerate(pv):
+                if q in su:
+                    return su[q] + k
+            return len(pu) + len(pv)
+
+        def in_subtree(pa, b, root_of):
+            while b != self.root:
+                if b == root_of:
+                    return True
+                b = int(pa[b])
+            return b == root_of
+
+        def spanning(pa, exclude):
+            out = []
+            for b in range(self.root):
+                a = int(pa[b])
+                if heights[a] > hp >= heights[b] and b != x \
+                        and b != p and b not in exclude \
+                        and not in_subtree(pa, b, x):
+                    out.append(b)
+            return out
+
+        cands = spanning(parent, {s})
+        if not cands:
+            return None
+        wts = np.array([lam ** hops(parent, p, b) for b in cands])
+        wts = wts / wts.sum()
+        bi = int(rng.choice(len(cands), p=wts))
+        b = int(cands[bi])
+        log_p_fwd = float(np.log(wts[bi]))
+        a = int(parent[b])
+        ch = child.copy()
+        pa = parent.copy()
+        row_g = ch[g - n]
+        ch[g - n] = [s if int(v) == p else int(v) for v in row_g]
+        pa[s] = g
+        row_a = ch[a - n]
+        ch[a - n] = [p if int(v) == b else int(v) for v in row_a]
+        pa[p] = a
+        ch[p - n] = [x, b]
+        pa[b] = p
+        # reverse: from the NEW tree, the reverse move regrafts p
+        # onto edge s; its choice probability uses the NEW distances
+        rev_cands = []
+        for bb in range(self.root):
+            aa = int(pa[bb])
+            if heights[aa] > hp >= heights[bb] and bb != x \
+                    and bb != p and bb != b \
+                    and not in_subtree(pa, bb, x):
+                rev_cands.append(bb)
+        if s not in rev_cands:
+            return None
+        wts_r = np.array([lam ** hops(pa, p, bb) for bb in rev_cands])
+        wts_r = wts_r / wts_r.sum()
+        log_p_rev = float(np.log(wts_r[rev_cands.index(s)]))
+        return ch, pa, log_p_rev - log_p_fwd
+
+    def _spr_times_root(self, child, parent, heights, rng):
+        """Prune-regraft restricted to the DEEP region: prune nodes
+        whose parent sits in the oldest quartile of internal heights —
+        the slowest-mixing part of a dated genealogy (the reference
+        gives root-adjacent rearrangements their own tuned moves,
+        spr_root mcmc.c:6604-6607).  Hastings adds the forward /
+        reverse prune-set size ratio on top of the target-count
+        ratio."""
+        n = self.n_otu
+        hint = np.sort(heights[n:])
+        thresh = float(hint[int(0.75 * len(hint))])
+
+        def deep_set(pa):
+            return [x for x in range(self.root)
+                    if int(pa[x]) != self.root
+                    and heights[int(pa[x])] >= thresh]
+
+        deep = deep_set(parent)
+        if not deep:
+            return None
+        x = int(deep[rng.integers(0, len(deep))])
+        res = self._spr_times_at(child, parent, heights, rng, x)
+        if res is None:
+            return None
+        ch, pa, log_h = res
+        deep_new = deep_set(pa)
+        if x not in deep_new:
+            return None
+        log_h += float(np.log(len(deep)) - np.log(len(deep_new)))
+        return ch, pa, log_h
+
+    def _spr_times_at(self, child, parent, heights, rng, x):
+        """_spr_times with the pruned node given (shared machinery)."""
+        n = self.n_otu
+        p = int(parent[x])
+        if p == self.root:
+            return None
+        g = int(parent[p])
+        row_p = child[p - n]
+        s = int(row_p[1] if int(row_p[0]) == x else row_p[0])
+        hp = heights[p]
+
+        def in_subtree(pa, b, root_of):
+            while b != self.root:
+                if b == root_of:
+                    return True
+                b = int(pa[b])
+            return b == root_of
+
+        cands = []
+        for b in range(self.root):
+            a = int(parent[b])
+            if heights[a] > hp >= heights[b] and b != x \
+                    and b != p and b != s \
+                    and not in_subtree(parent, b, x):
+                cands.append(b)
+        if not cands:
+            return None
+        b = int(cands[rng.integers(0, len(cands))])
+        a = int(parent[b])
+        ch = child.copy()
+        pa = parent.copy()
+        row_g = ch[g - n]
+        ch[g - n] = [s if int(v) == p else int(v) for v in row_g]
+        pa[s] = g
+        row_a = ch[a - n]
+        ch[a - n] = [p if int(v) == b else int(v) for v in row_a]
+        pa[p] = a
+        ch[p - n] = [x, b]
+        pa[b] = p
+        R = 0
+        for bb in range(self.root):
+            aa = int(pa[bb])
+            if heights[aa] > hp >= heights[bb] and bb != x \
+                    and bb != p and bb != b \
+                    and not in_subtree(pa, bb, x):
+                R += 1
+        if R == 0:
+            return None
+        return ch, pa, float(np.log(len(cands)) - np.log(R))
+
     @staticmethod
     def _renumber_postorder(child, parent, n_otu):
         """Renumber internal nodes of a (possibly non-postorder) child
@@ -794,10 +1142,14 @@ class MCMC:
         child = np.asarray(st.child)
         parent = np.asarray(st.parent)
         heights = np.asarray(st.heights)
-        kind = "narrow" if rng.random() < 0.5 else "spr"
-        res = (self._narrow_exchange(child, parent, heights, rng)
-               if kind == "narrow"
-               else self._spr_times(child, parent, heights, rng))
+        kind = str(rng.choice(
+            ["narrow", "spr", "spr_weighted", "spr_root"],
+            p=[0.35, 0.25, 0.25, 0.15]))
+        fns = {"narrow": self._narrow_exchange,
+               "spr": self._spr_times,
+               "spr_weighted": self._spr_times_weighted,
+               "spr_root": self._spr_times_root}
+        res = fns[kind](child, parent, heights, rng)
         if res is None:
             return st, kind, False
         ch, pa, log_h = res
