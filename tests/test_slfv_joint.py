@@ -190,3 +190,71 @@ def test_xml_spatial_distance_type(tmp_path):
     cfg = parse_xml(str(d / "flu.xml"))
     assert cfg["spatial_dist"] == "greatcircle"
     assert cfg["spatialmodel"] == "slfv"
+
+
+def test_multi_merger_collapse():
+    """state_to_timetree resolves a 3-way merger into two binary
+    nodes at the merger's height (r4 weak #5: sequence coupling no
+    longer requires a binary genealogy)."""
+    import numpy as np
+
+    from phyml_tpu.bayes.slfv import SLFVState, state_to_timetree
+
+    st = SLFVState(
+        n_otu=4,
+        coord=np.zeros((6, 2)),
+        h_node=np.array([0., 0., 0., 0., 1.0, 2.0]),
+        parent=np.array([4, 4, 4, 5, 5, -1]),
+        h_disk=np.array([1.0, 2.0]),
+        centr=np.zeros((2, 2)),
+        hit=np.array([4, 5]),
+    )
+    tt, node_of = state_to_timetree(st, return_node_map=True)
+    assert tt.child.shape == (3, 2)
+    assert abs(tt.heights[4] - 1.0) < 1e-12
+    assert abs(tt.heights[5] - 1.0) < 1e-12
+    assert abs(tt.heights[6] - 2.0) < 1e-12
+    # both cherries carry the merger's ldsk id
+    assert node_of[4] == 4 and node_of[5] == 4 and node_of[6] == 5
+
+
+def test_incremental_density_speedup_and_audit():
+    """The incremental density cache (SLFVDensity, ≙ PHYREX_Lk_Range
+    phyrex.c:1199) must agree with the full recompute across long
+    mixed-move runs (the sampler audits itself every audit_every
+    accepts) and deliver a real sweep-throughput win at the r4
+    verdict's 50-tip scale."""
+    import time
+
+    import numpy as np
+
+    from phyml_tpu.bayes.slfv import (
+        SLFVJointSampler, SLFVParams, _loglik_np, simulate_slfv,
+    )
+
+    rng = np.random.default_rng(0)
+    p = SLFVParams(lbda=2.0, mu=0.35, rad=1.2, lim_lo=(0., 0.),
+                   lim_up=(8., 8.))
+    st = simulate_slfv(50, p, rng)
+    smp = SLFVJointSampler(st, p, seed=1)
+    smp.audit_every = 64          # aggressive self-check
+    t0 = time.monotonic()
+    for _ in range(40):
+        smp.sweep()               # raises if the cache drifts
+    dt_inc = time.monotonic() - t0
+    full = _loglik_np(smp.state, smp.params)
+    inc = smp._dc.total()
+    assert abs(full - inc) < 1e-6 * max(1.0, abs(full))
+
+    # throughput: the hinted path must beat a hint-stripped sampler
+    smp2 = SLFVJointSampler(st, p, seed=1)
+    orig = smp2._accept
+    smp2._accept = (lambda name, s2, pp, lh, affects_seq=False,
+                    clock_new=None, hint=None:
+                    orig(name, s2, pp, lh, affects_seq=affects_seq,
+                         clock_new=clock_new, hint=None))
+    t0 = time.monotonic()
+    for _ in range(8):
+        smp2.sweep()
+    dt_full = (time.monotonic() - t0) * 40 / 8
+    assert dt_inc < dt_full / 2.0, (dt_inc, dt_full)
