@@ -344,9 +344,10 @@ def _config5(cache):
     ref = cache[key]
     ref_reps_hr = 3600.0 / ref["per_rep_s"]
 
-    # ---- ours ------------------------------------------------------
-    engine = LikelihoodEngine(aln, model, dtype=jnp.float32)
+    # ---- ours: analysis model (empirical freqs, like the reference
+    # run), distinct from the fixed-freqs simulation model ----------
     model2 = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    engine = LikelihoodEngine(aln, model2, dtype=jnp.float32)
     p0 = model2.init_params(aln.obs_state_freqs)
 
     def search_once():

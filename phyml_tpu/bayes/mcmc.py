@@ -221,6 +221,8 @@ class MCMC:
         if fastlk:
             # expansion is only valid at the expansion-point model
             w[7] = w[8] = 0.0
+            w[self.MOVE_NAMES.index("cov_switch")] = 0.0
+            w[self.MOVE_NAMES.index("cov_rates")] = 0.0
             self._movable_subst = []
         self._mala_enabled = bool(w[-1] > 0)
         self.move_w = jnp.asarray(w / w.sum())
@@ -619,7 +621,12 @@ class MCMC:
         internal = jnp.arange(self.n_nodes) >= self.n_otu
         above = internal & (st.heights > tau)
         h = jnp.where(above, tau + m * (st.heights - tau), st.heights)
-        log_h = jnp.sum(above) * jnp.log(m)
+        # Hastings: height Jacobian PLUS the state-dependent slice
+        # draw (tau ~ U(0, h_root); the reverse draws from
+        # U(0, h_root')): + log h_root - log h_root'
+        log_h = (jnp.sum(above) * jnp.log(m)
+                 + jnp.log(st.heights[self.root])
+                 - jnp.log(h[self.root]))
         return st._replace(heights=h), log_h, True
 
     def _mv_time_slice_br(self, st, key, step):
@@ -647,8 +654,14 @@ class MCMC:
         comp = jnp.where(changed,
                          jnp.log(safe(dt_old)) - jnp.log(safe(dt_new)),
                          0.0)
-        log_h = jnp.where(feasible,
-                          jnp.sum(above) * jnp.log(m), NEG_INF)
+        # Hastings: height Jacobian + the state-dependent tau draw
+        # (see _mv_time_slice)
+        log_h = jnp.where(
+            feasible,
+            jnp.sum(above) * jnp.log(m)
+            + jnp.log(st.heights[self.root])
+            - jnp.log(h_new[self.root]),
+            NEG_INF)
         prop = st._replace(
             heights=jnp.where(feasible, h_new, st.heights),
             log_r=st.log_r + jnp.where(feasible, comp, 0.0))

@@ -488,27 +488,42 @@ class SLFVDensity:
                       axis=1)
 
     def propose_params(self, state, p2):
-        """Density of the CACHED state under new (mu, rad, lbda):
-        masks and distances are geometry-only, so this is pure
-        arithmetic on the cached d2/act/hm."""
-        if self.oob:
+        """Density of `state` under new (mu, rad, lbda).  The
+        geometry (distances, activity and hit masks) is re-derived
+        from `state` directly: the cached d2/act/hm are refreshed
+        only by rebuild(), so they can be stale after rowcol/resize
+        commits (found by review - using them here silently biased
+        the (lbda, mu, rad) posterior)."""
+        if np.any(state.coord < self.lo) \
+                or np.any(state.coord > self.up):
             return float(NEG_INF)
-        w = float(self._w_of(p2.mu, p2.rad, self.d2, self.act,
-                             self.hm).sum())
-        hl = 0.0
+        L = state.coord.shape[0]
+        K = state.h_disk.shape[0]
+        parent_safe = np.clip(state.parent, 0, L - 1)
+        h_end = np.where(state.parent >= 0,
+                         state.h_node[parent_safe], np.inf)
+        act = (state.h_node[None, :] < state.h_disk[:, None]) \
+            & (state.h_disk[:, None] <= h_end[None, :])
+        don = np.full(L, -1, dtype=np.int64)
         okh = state.hit >= 0
+        don[state.hit[okh]] = np.nonzero(okh)[0]
+        rows = don[parent_safe]
+        sel = (state.parent >= 0) & (rows >= 0)
+        hm = np.zeros((K, L), dtype=bool)
+        hm[rows[sel], np.nonzero(sel)[0]] = True
+        d2 = _sq_dist(state.coord[None, :, :],
+                      state.centr[:, None, :], self.params, np)
+        w = float(self._w_of(p2.mu, p2.rad, d2, act, hm).sum())
+        hl = 0.0
         if okh.any():
             ks = np.nonzero(okh)[0]
             hl = float(self._hitloc_of(
                 state.coord[state.hit[ks]], state.centr[ks],
                 p2.rad).sum())
+        span = float(state.h_node.max())
         return (w + hl
-                + self.K * float(np.sum(-np.log(self.up - self.lo)))
-                + self.K * np.log(p2.lbda) - p2.lbda * self.span)
-        # cached scalar sums: total() must not re-reduce the O(K*L)
-        # matrix per proposal (that alone halves the speedup)
-        self.wsum = float(self.W.sum())
-        self.hlsum = float(self.hitloc.sum())
+                + K * float(np.sum(-np.log(self.up - self.lo)))
+                + K * np.log(p2.lbda) - p2.lbda * span)
 
     def _row_terms(self, state, k):
         """(W row [L], hitloc scalar) of disk k against all lineages

@@ -113,12 +113,11 @@ def encode_generic(seqs: list[str],
     idx = np.full(256, -2, dtype=np.int64)          # -2 = invalid
     for i, c in enumerate(GENERIC_STATES):
         idx[ord(c)] = i
-    for c in "?-.":
+    # '?', '-', '.' and 'X' are full ambiguity ('X' is the
+    # conventional missing-data code; alphabets needing 34+ states
+    # should avoid it as a state letter)
+    for c in "?-.X":
         idx[ord(c)] = -1                            # -1 = ambiguous
-    # X doubles as a state letter in GENERIC_STATES; treat it as
-    # ambiguity only if it is never a plausible state (reference
-    # generic data is numeric) - keep it as state 33 for letters but
-    # remap when ns would stay below 34
     states = idx[mat]
     if (states == -2).any():
         i, j = np.argwhere(states == -2)[0]

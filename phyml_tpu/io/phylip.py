@@ -108,7 +108,8 @@ def _parse_sequential(body: list[str], n_otu: int, n_sites: int,
 
 
 def parse_phylip_multi(
-    text: str, n_sets: int, interleaved: bool = True
+    text: str, n_sets: int, interleaved: bool = True,
+    keep_digits: bool = False,
 ) -> list[tuple[list[str], list[str]]]:
     """Parse `n_sets` consecutive data sets from one PHYLIP file
     (reference: the per-data-set loop of main.c:108 with -n/--multiple,
@@ -149,8 +150,8 @@ def parse_phylip_multi(
                 if in_first and len(names) < n_otu:
                     parts = line.split(None, 1)
                     names.append(parts[0])
-                    seqs.append(_clean(parts[1]) if len(parts) > 1
-                                else "")
+                    seqs.append(_clean(parts[1], keep_digits)
+                                if len(parts) > 1 else "")
                     if len(names) == n_otu:
                         in_first = False
                         row = 0
@@ -173,8 +174,8 @@ def parse_phylip_multi(
                             break
                     parts = line.split(None, 1)
                     names.append(parts[0])
-                    cur = _clean(parts[1], keep_digits) \
-                if len(parts) > 1 else ""
+                    cur = (_clean(parts[1], keep_digits)
+                           if len(parts) > 1 else "")
                     started = True
                 else:
                     cur += _clean(line, keep_digits)

@@ -586,10 +586,11 @@ def test_phytime_mixing_ess(tmp_path):
     Because ~half the catalog is now EXACTLY lnL-invariant (which
     deflates the lnL-series ESS artifactually) and the 4000-iter
     estimator has huge seed variance, the protocol moves to 8000
-    iterations; r5 measures (seeds 1, 2): posterior 2.98-3.92,
-    lnL 2.75-3.30, root_height 2.31-2.60, log_clock 2.03-4.28.
-    Thresholds sit under the 2-seed minimum so a mixing regression
-    fails and seed noise does not."""
+    iterations; r5 measures (seeds 1-3, after the time-slice
+    Hastings fix): posterior 3.01-5.17, lnL 1.93-4.34, root_height
+    2.55-4.12, log_clock 2.74-3.80.  Thresholds sit under the
+    3-seed minimum so a mixing regression fails and seed noise does
+    not."""
     import numpy as np
 
     from phyml_tpu.bayes.chrono import TimeTree
@@ -619,10 +620,10 @@ def test_phytime_mixing_ess(tmp_path):
     ess = {k: v / 6.0
            for k, v in ess_report(res.trace,
                                   burnin_rows=2000).items()}
-    assert ess["lnL"] >= 2.0, ess          # r5 band: 2.75-3.30
-    assert ess["posterior"] >= 2.2, ess    # r5 band: 2.98-3.92
-    assert ess["log_clock"] >= 1.6, ess    # r5 band: 2.03-4.28
-    assert ess["root_height"] >= 1.8, ess  # r5 band: 2.31-2.60
+    assert ess["lnL"] >= 1.7, ess          # r5 band: 1.93-4.34
+    assert ess["posterior"] >= 2.5, ess    # r5 band: 3.01-5.17
+    assert ess["log_clock"] >= 2.0, ess    # r5 band: 2.74-3.80
+    assert ess["root_height"] >= 2.0, ess  # r5 band: 2.55-4.12
 
 
 def test_phytime_xml_mutmap(tmp_path):
