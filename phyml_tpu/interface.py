@@ -93,7 +93,7 @@ def _render(st: MenuState, page: str, out) -> None:
         f"                [{key}] "
         f"{'.' * 40} {desc}  {val}\n")
     if page == "input":
-        w("D", "Data type (DNA/AA) ", st.datatype.upper())
+        w("D", "Data type (DNA/AA/generic) ", st.datatype.upper())
         w("I", "Input sequences interleaved (or sequential) ",
           _fmt_bool(not st.sequential))
         w("M", "Analyze multiple data sets ", st.n_data_sets)
@@ -145,7 +145,9 @@ def _toggle(st: MenuState, page: str, key: str, readline) -> None:
     key = key.upper()
     if page == "input":
         if key == "D":
-            st.datatype = "aa" if st.datatype == "nt" else "nt"
+            # cycle nt -> aa -> generic -> nt (interface.c:530-551)
+            st.datatype = {"nt": "aa", "aa": "generic",
+                           "generic": "nt"}[st.datatype]
         elif key == "I":
             st.sequential = not st.sequential
         elif key == "M":
