@@ -139,6 +139,9 @@ def _uppass_kernel(child_ref, tips_ref, pmats_ref, pi_ref, logw_ref,
             (e - 127).astype(jnp.float32)
         pup_scr[u] = matvec(pmats_ref[u], x)
         return 0
+    # note (r5, measured true-synced): predicating the rescale to
+    # every second step via pl.when saves no time - the predication
+    # overhead cancels the skipped VPU ops - so every step rescales
 
     lax.fori_loop(0, n_int - 1, internal, 0)
 
