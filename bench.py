@@ -126,13 +126,17 @@ def _ensure_ref_bin():
             check=True, capture_output=True)
 
 
-def _ratchet(cache, key, value):
+def _ratchet(cache, key, value, frac=None):
     """Record the best value ever seen; fail if value regresses below
-    RATCHET x best."""
+    frac x best.  Launch-pipelined rates swing ~2x with tunnel state
+    (the launch queue, not device compute, is what they measure), so
+    their callers pass a loose frac; the true-synced device metric
+    is tight (+-10% band) and uses the default."""
+    frac = RATCHET if frac is None else frac
     best = cache.get(key)
     if best is not None:
-        assert value >= RATCHET * best, (
-            f"{key}: {value:.3e} fell below {RATCHET}x the recorded "
+        assert value >= frac * best, (
+            f"{key}: {value:.3e} fell below {frac}x the recorded "
             f"best {best:.3e} - a real regression, not tunnel noise")
     if best is None or value > best:
         cache[key] = value
@@ -341,12 +345,19 @@ def _clv_batched_rate(engine, params, ta, n_patterns, B=64,
     import jax.numpy as jnp
 
     from phyml_tpu.ops.pallas_clv import uppass_site_lse
+    from phyml_tpu.ops.pallas_clv_slots import uppass_site_lse_slots
 
     sysv = engine.system_of(params)
     blens0 = jnp.stack([ta.blen * (1.0 + 0.003 * i)
                         for i in range(B)])
+    # sched rides as a jit ARGUMENT: a closure-captured device array
+    # (even a KB-sized one) permanently degrades every dispatch in
+    # the process on this runtime
+    sched = (engine._slot_sched(ta.child)
+             if not engine.pallas_tile and engine.slot_tile
+             else ta.child)
 
-    def chain(data, sys, child, blens0, weights, seed):
+    def chain(data, sys, child, sched_a, blens0, weights, seed):
         tips, _inv, _invok = data
         lam, V, Vinv, pi, w, pinv = sys
         logw = jnp.log(jnp.maximum(w, 1e-37))
@@ -354,10 +365,19 @@ def _clv_batched_rate(engine, params, ta, n_patterns, B=64,
         def one(blen):
             pmats = engine._pmats(lam, V, Vinv,
                                   blen.astype(engine.dtype))
-            lse = uppass_site_lse(
-                child, tips, pmats, pi, logw,
-                n_otu=engine.n_otu, n_int=engine.n_internal,
-                C=engine.C, ns=engine.ns, T=engine.pallas_tile)
+            if engine.pallas_tile:
+                lse = uppass_site_lse(
+                    child, tips, pmats, pi, logw,
+                    n_otu=engine.n_otu, n_int=engine.n_internal,
+                    C=engine.C, ns=engine.ns, T=engine.pallas_tile,
+                    interpret=engine._interp)
+            else:
+                lse = uppass_site_lse_slots(
+                    sched_a, tips, pmats, pi, logw,
+                    n_otu=engine.n_otu, n_int=engine.n_internal,
+                    C=engine.C, ns=engine.ns,
+                    n_slots=engine.slot_count, T=engine.slot_tile,
+                    interpret=engine._interp)
             return jnp.sum(lse * weights.astype(jnp.float32))
 
         def body(i, carry):
@@ -375,12 +395,12 @@ def _clv_batched_rate(engine, params, ta, n_patterns, B=64,
         return acc
 
     fn = jax.jit(chain, static_argnames=())
-    r = fn(engine.data(), sysv, ta.child, blens0, engine.weights,
-           jnp.asarray(1.0))
+    r = fn(engine.data(), sysv, ta.child, sched, blens0,
+           engine.weights, jnp.asarray(1.0))
     float(r)                         # warm: compile + load + sync
     t0 = time.monotonic()
-    r = fn(engine.data(), sysv, ta.child, blens0, engine.weights,
-           jnp.asarray(2.0))
+    r = fn(engine.data(), sysv, ta.child, sched, blens0,
+           engine.weights, jnp.asarray(2.0))
     float(r)                         # true completion
     dt = time.monotonic() - t0
     updates = iters * B * engine.n_internal * engine.C * n_patterns
@@ -518,7 +538,7 @@ def main():
 
     # --- CLV throughput, DNA ----------------------------------------
     clv_rate, _ = _clv_rate(eng, params, ta, aln.n_patterns)
-    _ratchet(cache, "clv_nt_best", clv_rate)
+    _ratchet(cache, "clv_nt_best", clv_rate, frac=0.4)
 
     # --- CLV throughput, AA (slot kernel: dense does not fit at
     # 255 nodes x 20 states) -----------------------------------------
@@ -530,13 +550,16 @@ def main():
                           n_evals=20, trials=6)
     # one AA site-update = a 20x20 matvec + mix ~ 860 flops
     aa_tflops = clv_aa * 860 / 1e12
-    _ratchet(cache, "clv_aa_best", clv_aa)
+    _ratchet(cache, "clv_aa_best", clv_aa, frac=0.4)
 
     # --- batched device throughput (the first D2H read-back in this
     # process happens here, so this section must FOLLOW the
     # launch-pipelined single-eval loops above) ----------------------
     clv_batched = _clv_batched_rate(eng, params, ta, aln.n_patterns)
     _ratchet(cache, "clv_batched_best", clv_batched)
+    clv_aa_sync = _clv_batched_rate(eng_aa, params_aa, ta_aa,
+                                    aln_aa.n_patterns, B=8, iters=60)
+    _ratchet(cache, "clv_aa_synced_best", clv_aa_sync)
 
     # --- branch-length optimization speedup -------------------------
     optimize_branch_lengths(eng, params, ta)       # warm
@@ -616,6 +639,8 @@ def main():
         # evaluations and a host read-back forces completion - the
         # honest sustained device-throughput lower bound
         nt_updates_per_s_true_synced=round(clv_batched / 1e9, 2),
+        aa_updates_per_s_true_synced=round(clv_aa_sync / 1e9, 2),
+        aa_tflops_true_synced=round(clv_aa_sync * 860 / 1e12, 1),
         ratchet=dict(nt_best=round(cache.get("clv_nt_best", 0) / 1e9, 2),
                      aa_best=round(cache.get("clv_aa_best", 0) / 1e9, 2),
                      true_synced_best=round(
@@ -627,12 +652,21 @@ def main():
     print(f"# CLV: nt {clv_rate/1e9:.1f}e9 upd/s launch-pipelined, "
           f"{clv_batched/1e9:.1f}e9 upd/s true-synced device rate; "
           f"aa {clv_aa/1e9:.1f}e9 upd/s pipelined "
-          f"(~{aa_tflops:.1f} TFLOP/s)", file=sys.stderr)
+          f"(~{aa_tflops:.1f} TFLOP/s), "
+          f"{clv_aa_sync/1e9:.1f}e9 upd/s true-synced "
+          f"(~{clv_aa_sync*860/1e12:.1f} TFLOP/s)", file=sys.stderr)
     for name, d in e2e.items():
         print(f"# {name}: {json.dumps(d)}", file=sys.stderr)
-    with open(os.path.join(os.path.dirname(__file__),
-                           "E2E.json"), "w") as fh:
-        json.dump(e2e, fh, indent=1)
+    # merge-update: a FAST run must not drop the config-5/cold keys
+    # recorded by a previous full run
+    e2e_path = os.path.join(os.path.dirname(__file__), "E2E.json")
+    merged = {}
+    if os.path.exists(e2e_path):
+        with open(e2e_path) as fh:
+            merged = json.load(fh)
+    merged.update(e2e)
+    with open(e2e_path, "w") as fh:
+        json.dump(merged, fh, indent=1)
 
 
 if __name__ == "__main__":
