@@ -71,11 +71,8 @@ def _build_problem(datatype="nt", n_taxa=N_TAXA, n_sites=N_SITES,
 
     from phyml_tpu.io.alignment import read_alignment
     from phyml_tpu.models.substitution import SubstModel
-    from phyml_tpu.evolve import simulate_alignment, write_phylip
     from phyml_tpu.topology import Topology
 
-    rng = np.random.default_rng(SEED)
-    topo = Topology.random(n_taxa, rng, mean_blen=0.08)
     if datatype == "nt":
         model = SubstModel(datatype="nt", name="GTR", n_classes=4,
                            freqs_mode="fixed",
@@ -95,11 +92,18 @@ def _build_problem(datatype="nt", n_taxa=N_TAXA, n_sites=N_SITES,
     aln_path = os.path.join(workdir, f"{tag}.phy")
     tree_path = os.path.join(workdir, f"{tag}.nwk")
     if not os.path.exists(aln_path):
-        names, seqs = simulate_alignment(topo, model, params, n_sites,
-                                         rng)
-        write_phylip(aln_path, names, seqs)
-        with open(tree_path, "w") as fh:
-            fh.write(topo.to_newick(names))
+        # a CHILD process generates the problem: simulate_alignment
+        # reads the eigensystem back to the host, and the first
+        # device->host read-back permanently degrades every later
+        # dispatch in the process (measured 17 us -> 773 us) — it
+        # must never happen inside the benchmarking process
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "tools",
+                          "gen_bench_problem.py"),
+             datatype, str(n_taxa), str(n_sites), str(SEED),
+             aln_path, tree_path],
+            check=True)
     aln = read_alignment(aln_path, datatype=datatype)
     with open(tree_path) as fh:
         topo = Topology.from_newick(fh.read(), aln.names)
