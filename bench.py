@@ -356,10 +356,13 @@ def _clv_batched_rate(engine, params, ta, n_patterns, B=64,
                         for i in range(B)])
     # sched rides as a jit ARGUMENT: a closure-captured device array
     # (even a KB-sized one) permanently degrades every dispatch in
-    # the process on this runtime
+    # the process on this runtime.  The slot kernel is preferred
+    # whenever a schedule exists (r5: 13.0e9 vs 6.5e9 true-synced).
     sched = (engine._slot_sched(ta.child)
-             if not engine.pallas_tile and engine.slot_tile
-             else ta.child)
+             if engine.slot_tile else None)
+    use_slots = sched is not None
+    if sched is None:
+        sched = ta.child
 
     def chain(data, sys, child, sched_a, blens0, weights, seed):
         tips, _inv, _invok = data
@@ -369,18 +372,18 @@ def _clv_batched_rate(engine, params, ta, n_patterns, B=64,
         def one(blen):
             pmats = engine._pmats(lam, V, Vinv,
                                   blen.astype(engine.dtype))
-            if engine.pallas_tile:
-                lse = uppass_site_lse(
-                    child, tips, pmats, pi, logw,
-                    n_otu=engine.n_otu, n_int=engine.n_internal,
-                    C=engine.C, ns=engine.ns, T=engine.pallas_tile,
-                    interpret=engine._interp)
-            else:
+            if use_slots:
                 lse = uppass_site_lse_slots(
                     sched_a, tips, pmats, pi, logw,
                     n_otu=engine.n_otu, n_int=engine.n_internal,
                     C=engine.C, ns=engine.ns,
                     n_slots=engine.slot_count, T=engine.slot_tile,
+                    interpret=engine._interp)
+            else:
+                lse = uppass_site_lse(
+                    child, tips, pmats, pi, logw,
+                    n_otu=engine.n_otu, n_int=engine.n_internal,
+                    C=engine.C, ns=engine.ns, T=engine.pallas_tile,
                     interpret=engine._interp)
             return jnp.sum(lse * weights.astype(jnp.float32))
 

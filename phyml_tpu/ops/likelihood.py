@@ -184,8 +184,11 @@ class LikelihoodEngine:
         # did not demand a custom quantum (sharded engines pad to
         # 128*n_shards).
         if use_pallas and quantum == 128:
-            tq = tile if tile >= 128 else (
-                st if st >= 128 else (sst if sst >= 128 else 0))
+            # align to the SLOT kernel's tile first: it is the
+            # preferred host-path kernel (r5: 13.0e9 vs 7.4e9
+            # true-synced updates/s vs the dense kernel)
+            tq = st if st >= 128 else (
+                tile if tile >= 128 else (sst if sst >= 128 else 0))
             if tq:
                 tq = min(tq, self.P)
                 self.P = max(tq, int(math.ceil(P_raw / tq) * tq))
@@ -463,12 +466,15 @@ class LikelihoodEngine:
     def _use_slot(self):
         return ((self.slot_tile or
                  getattr(self, "slot_stream_tile", 0))
-                and not self.pallas_tile and self._mesh is None)
+                and self._mesh is None)
 
     def loglik(self, params, tree, weights=None):
         sys = self.system_of(params)
-        # slot path: beyond the dense kernel's scale ceiling only
-        # (where it fits, the dense kernel measures equal-or-faster)
+        # slot path preferred wherever a host-built schedule exists:
+        # its O(log n) scratch makes dynamic slot indexing far cheaper
+        # than the dense kernel's node-indexed scratch (measured r5
+        # true-synced on 128x4096 GTR+Gamma4: 13.0e9 vs 7.4e9
+        # updates/s); dense remains the traced-topology fallback
         if self._use_slot():
             sched = self._slot_sched(tree.child)
             if sched is not None:

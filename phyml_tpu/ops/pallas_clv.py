@@ -143,7 +143,7 @@ def _uppass_kernel(child_ref, tips_ref, pmats_ref, pi_ref, logw_ref,
     # every second step via pl.when saves no time - the predication
     # overhead cancels the skipped VPU ops - so every step rescales
 
-    lax.fori_loop(0, n_int - 1, internal, 0)
+    lax.fori_loop(0, n_int - 1, internal, 0, unroll=n_int - 1)
 
     # Root row: product of the two root children, dot with pi, mix
     # classes in log space (logsumexp over C).

@@ -196,7 +196,7 @@ def _slot_kernel(sched_ref, tips_ref, pmats_ref, pi_ref, logw_ref,
         sc_scr[dst] = sca + scb + (e - 127).astype(jnp.float32)
         return 0
 
-    lax.fori_loop(0, n_int, step, 0)
+    lax.fori_loop(0, n_int, step, 0, unroll=n_int)
 
     root_dst = sched_ref[n_int - 1, 6]
     x = slot_scr[root_dst]
@@ -380,7 +380,7 @@ def _slot_stream_kernel(sched_ref, tips_hbm, pmats_hbm, pi_ref,
         sc_scr[dst] = sca + scb + (e - 127).astype(jnp.float32)
         return 0
 
-    lax.fori_loop(0, n_int, step, 0)
+    lax.fori_loop(0, n_int, step, 0, unroll=n_int)
 
     root_dst = sched_ref[n_int - 1, 6]
     x = slot_scr[root_dst]

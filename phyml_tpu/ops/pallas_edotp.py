@@ -204,7 +204,7 @@ def _edotp_stream_kernel(child_ref, tips_hbm, pmats_hbm, V_ref,
         sc_scr[i] = s0 + s1 + ds
         return 0
 
-    lax.fori_loop(0, n_int, up, 0)
+    lax.fori_loop(0, n_int, up, 0, unroll=n_int)
 
     # ---- down sweep + streamed d ------------------------------------
     def emit_wait(slot, j):
@@ -276,7 +276,7 @@ def _edotp_stream_kernel(child_ref, tips_hbm, pmats_hbm, V_ref,
         emit(slot, 1, c1, x1, s1, o1, sco1)
         return 0
 
-    lax.fori_loop(0, n_int, down, 0)
+    lax.fori_loop(0, n_int, down, 0, unroll=n_int)
     # drain the last (up to two) steps' output copies
     for back in range(min(2, n_int)):
         slot = (n_int - 1 - back) % 2
@@ -463,7 +463,7 @@ def _edotp_kernel(child_ref, tips_ref, pmats_ref, V_ref, Vinv_ref,
         sc_scr[i] = s0 + s1 + ds
         return 0
 
-    lax.fori_loop(0, n_int, up, 0)
+    lax.fori_loop(0, n_int, up, 0, unroll=n_int)
 
     # ---- down sweep: outside partials + d per node ------------------
     def emit(node, o, sco):
@@ -513,7 +513,7 @@ def _edotp_kernel(child_ref, tips_ref, pmats_ref, V_ref, Vinv_ref,
         emit(c1, o1, sco1)
         return 0
 
-    lax.fori_loop(0, n_int, down, 0)
+    lax.fori_loop(0, n_int, down, 0, unroll=n_int)
     # root row: meaningless but must be written
     d_ref[n_otu + n_int - 1] = jnp.zeros((C, ns, T), jnp.float32)
     scd_ref[n_otu + n_int - 1] = jnp.zeros((C, T), jnp.float32)

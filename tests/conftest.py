@@ -19,8 +19,13 @@ import jax  # noqa: E402
 # virtual devices above need the host platform.  The env-var route
 # (JAX_PLATFORMS=cpu) is unreliable here - the installed TPU plugin
 # overrides it - but the config API is honored.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# PHYML_TEST_TPU=1 skips the CPU forcing so the hardware-gated tests
+# (e.g. test_shard_map_pallas_on_tpu_hardware) can run on a real
+# chip: run ONLY those tests under it - the f64 parity tests would
+# crawl on emulated float64.
+if not os.environ.get("PHYML_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

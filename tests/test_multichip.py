@@ -211,3 +211,30 @@ def test_sum_across_processes_single():
     from phyml_tpu.parallel.boot import _sum_across_processes
     x = np.array([1.0, 2.0, 3.0])
     np.testing.assert_array_equal(_sum_across_processes(x), x)
+
+
+def test_shard_map_pallas_on_tpu_hardware():
+    """Direct evidence for the combination "real TPU + shard_map +
+    Pallas kernel": the virtual-CPU mesh tests above exercise the
+    sharded code path only in interpret mode, so this test runs the
+    compiled kernel under shard_map on actual TPU hardware (1-device
+    mesh — the per-shard program is identical for any mesh size; the
+    sharded==unsharded value assert is what matters).  Skipped off-TPU.
+    """
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs TPU hardware")
+    from jax.sharding import Mesh
+    from phyml_tpu.ops.likelihood import LikelihoodEngine, tree_arrays
+
+    aln, model, topo, params = _toy(n_otu=16, n_sites=400)
+    eng = LikelihoodEngine(aln, model, dtype=jnp.float32)
+    ta = tree_arrays(topo.rooted(), dtype=jnp.float32)
+    lnl_plain = float(eng.loglik(params, ta))
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("sites",))
+    eng_sh = LikelihoodEngine(aln, model,
+                              dtype=jnp.float32).attach_mesh(mesh)
+    assert eng_sh.pallas_tile, "dense kernel must be active on TPU"
+    lnl_sh = float(eng_sh.loglik(params, tree_arrays(
+        topo.rooted(), dtype=jnp.float32)))
+    assert abs(lnl_plain - lnl_sh) < 0.5
