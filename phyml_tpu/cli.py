@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "or 'fA,fC,fG,fT'")
     p.add_argument("-t", "--ts_tv", default="e",
                    help="transition/transversion ratio (or 'e')")
-    p.add_argument("-c", "--n_classes", type=int, default=4)
+    p.add_argument("-c", "--n_classes", "--nclasses", type=int,
+                   default=4)
     # reference default: alpha FIXED at 1.0 unless `-a e`
     # (Init_Scalar_Dbl init.c:31 defaults optimize=NO; only kappa is
     #  estimated by default, Set_Defaults_Model init.c:688)
@@ -50,7 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gamma shape (or 'e' to estimate)")
     p.add_argument("-v", "--pinv", default="0.0",
                    help="proportion of invariant sites (or 'e')")
-    p.add_argument("--free_rates", action="store_true",
+    p.add_argument("--free_rates", "--freerates", "--freerate",
+                   action="store_true",
                    help="FreeRate model instead of discrete gamma")
     p.add_argument("--codpos", type=int, default=None,
                    help="analyse only this codon position (1|2|3); "
@@ -63,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "Gamma-distributed with variance blen*sigma, "
                         "sigma estimated (reference --il / "
                         "gamma_mgf_bl; Guindon 2012)")
-    p.add_argument("-u", "--user_tree", default=None,
+    p.add_argument("-u", "--user_tree", "--inputtree",
+                   default=None,
                    help="starting tree newick file")
     p.add_argument("-o", "--optimize", default="tlr",
                    help="t=topology l=lengths r=rates; 'n' = none")
@@ -126,19 +129,40 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cross-validation for model selection "
                         "(reference cv.c / XML cv.type); writes "
                         "_phyml_cv.txt")
-    p.add_argument("--ancestral", action="store_true",
+    p.add_argument("--ancestral", "--anc", action="store_true",
                    help="marginal ancestral state reconstruction "
                         "(writes _phyml_ancestral_seq.txt + tree)")
     p.add_argument("--ps", action="store_true",
                    help="write a PostScript phylogram "
                         "(_phyml_tree.ps; reference draw.c)")
-    p.add_argument("--print_site_lnl", action="store_true")
+    p.add_argument("--print_site_lnl", "--print_site_lk",
+                   action="store_true")
     p.add_argument("--print_trace", action="store_true",
                    help="append a newick line to _phyml_trace.txt at "
                         "every search improvement (io.c fp_out_trace)")
     p.add_argument("--json_trace", action="store_true",
                    help="JSON snapshots of tree+lnL per improvement "
                         "(_phyml_trace.json; JSON_Tree_Io io.c:6737)")
+    p.add_argument("--min_diff_lk_global", type=float, default=None,
+                   help="convergence window of the topology search "
+                        "(cl.c case 17)")
+    p.add_argument("--no_five_branch", action="store_true",
+                   help="skip the closing five-branch NNI polish of "
+                        "the SPR search (cl.c case 41)")
+    p.add_argument("--alias_subpatt", action="store_true",
+                   help="report subtree-pattern aliasing statistics "
+                        "(utilities.c:13528 Alias_Subpatt; the engine "
+                        "exploits pattern compression automatically)")
+    p.add_argument("--mutmap", action="store_true",
+                   help="sample one substitution history on the final "
+                        "tree and write _phyml_mutmap.txt "
+                        "(ancestral.c:345 Map_Mutations)")
+    p.add_argument("--no_gap", action="store_true",
+                   help="remove columns containing gaps or ambiguous "
+                        "characters (cl.c case 38)")
+    p.add_argument("--append", action="store_true",
+                   help="append to existing output files instead of "
+                        "overwriting (cl.c case 40)")
     p.add_argument("--leave_duplicates", action="store_true")
     p.add_argument("--no_memory_check", action="store_true")
     p.add_argument("--quiet", action="store_true")
@@ -309,6 +333,9 @@ def run_analysis(args) -> int:
                                interleaved=not args.sequential,
                                site_weights=site_w,
                                codpos=args.codpos)]
+    if args.no_gap:
+        from phyml_tpu.io.alignment import remove_ambiguous_patterns
+        alns = [remove_ambiguous_patterns(a) for a in alns]
     rc = 0
     for set_idx, aln in enumerate(alns):
         if len(alns) > 1 and not args.quiet:
@@ -457,7 +484,9 @@ def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
                 engine, model, params0, topo0,
                 kind=kind.lower(), retries=2, opt_params=opt_rates,
                 seed=seed, verbose=not args.quiet, trace=trace,
-                accept_topo=accept_topo)
+                accept_topo=accept_topo,
+                tol=args.min_diff_lk_global,
+                five_branch=not args.no_five_branch)
 
         best = None
         for si, topo0 in enumerate(starts):
@@ -550,7 +579,7 @@ def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
     tree_path, stats_path = write_results(
         prefix, topo, aln.names, stats,
         support=support, support_fmt=support_fmt,
-        append=(set_idx > 0),
+        append=(set_idx > 0 or args.append),
     )
     if n_sets > 1:
         # aux outputs below must not clobber across data sets
@@ -605,6 +634,32 @@ def _run_dataset(args, aln, rng, seed, set_idx=0, n_sets=1) -> int:
         ta = tree_arrays(rv, dtype=dtype)
         probs = marginal_posteriors(engine, params, ta)
         write_ancestral(prefix, aln, topo, rv, probs, aln.datatype)
+    if args.mutmap:
+        # one joint draw of (rate classes, ancestral states) then
+        # endpoint-conditioned path sampling per (edge, site)
+        # (Sample_Ancestral_Seq ancestral.c:15 + Map_Mutations :345)
+        from phyml_tpu.ops.ancestral import (
+            map_mutations, sample_ancestral,
+        )
+        ta = tree_arrays(topo.rooted(), dtype=dtype)
+        classes, states = sample_ancestral(
+            engine, params, ta, jax.random.PRNGKey(seed))
+        events = map_mutations(engine, params, ta,
+                               np.asarray(classes), np.asarray(states),
+                               np.random.default_rng(seed + 31))
+        with open(f"{prefix}_phyml_mutmap.txt", "w") as fh:
+            fh.write("# sampled substitution history "
+                     "(node, site, time_from_parent, from, to)\n")
+            for (u, pp, t, s_from, s_to) in events:
+                fh.write(f"{u}\t{pp}\t{t:.6g}\t{s_from}\t{s_to}\n")
+        if not args.quiet:
+            print(f". Mutation map written to "
+                  f"{prefix}_phyml_mutmap.txt")
+    if args.alias_subpatt:
+        from phyml_tpu.ops.alias import alias_stats
+        rep = alias_stats(aln, np.asarray(topo.rooted().child))
+        if not args.quiet:
+            print(f". Subpattern aliasing: {rep}")
     if not args.quiet:
         print(f". Log-likelihood: {lnl:.5f}")
         print(f". Results written to {tree_path} and {stats_path}")

@@ -122,6 +122,36 @@ def compact(
     return aln
 
 
+def remove_ambiguous_patterns(aln: Alignment) -> Alignment:
+    """Drop site patterns containing any gap or ambiguity character
+    (--no_gap, cl.c case 38 -> io->rm_ambigu; the reference strips
+    such columns before compression).  A cell is unambiguous iff its
+    tip partial is a single unit basis vector."""
+    p = aln.partials
+    ok_cell = (p.sum(axis=-1) == 1.0) & (p.max(axis=-1) == 1.0)
+    keep = ok_cell.all(axis=0)                       # [n_patterns]
+    idx = np.nonzero(keep)[0]
+    remap = -np.ones(aln.n_patterns, dtype=np.int32)
+    remap[idx] = np.arange(len(idx), dtype=np.int32)
+    s2p = remap[aln.site_to_pattern]
+    out = Alignment(
+        names=list(aln.names),
+        datatype=aln.datatype,
+        partials=p[:, keep],
+        weights=aln.weights[keep],
+        site_to_pattern=s2p[s2p >= 0].astype(np.int32),
+        invariant=aln.invariant[keep],
+    )
+    out.invar_mask = (out.partials > 0).all(axis=0)
+    out.obs_state_freqs = empirical_freqs(out)
+    # per-SITE weights must follow the kept sites, or a later
+    # re-compaction (duplicate-taxon removal) sees a length mismatch
+    isw = getattr(aln, "input_site_weights", None)
+    out.input_site_weights = (None if isw is None
+                              else np.asarray(isw)[s2p >= 0])
+    return out
+
+
 def find_duplicate_taxa(aln: Alignment) -> list[tuple[int, int]]:
     """(duplicate_index, kept_index) pairs: taxa whose encoded
     sequences are identical (reference Are_Sequences_Identical,

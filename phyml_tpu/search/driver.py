@@ -108,10 +108,12 @@ def spr_search(
     weights=None,
     trace=None,
     accept_topo=None,
+    five_branch: bool = True,
 ):
     """SPR topology search with interleaved parameter optimization and
     a final NNI polish (reference: Global_Spr_Search spr.c:764, which
-    runs SPR rounds then Check_NNI_Five_Branches).
+    runs SPR rounds then Check_NNI_Five_Branches; five_branch=False
+    skips that polish, --no_five_branch cl.c case 41).
     Returns (topo, params, lnL)."""
     rng = np.random.default_rng(seed)
     lnl = -np.inf
@@ -167,6 +169,9 @@ def spr_search(
             lnl = max(lnl, lnl_new)
             break
         lnl = lnl_new
+    if not five_branch:
+        # --no_five_branch: return straight from SPR convergence
+        return topo, params, lnl
     # NNI polish + final joint optimization
     return nni_search(
         engine, model, params, topo,
@@ -224,6 +229,8 @@ def ml_search(
     weights=None,
     trace=None,
     accept_topo=None,
+    tol: float | None = None,
+    five_branch: bool = True,
 ):
     """Iterated hill-climb: run the chosen search, then retry from
     small random perturbations of the best tree, keeping the best
@@ -237,8 +244,13 @@ def ml_search(
     def run(p0, t0, s, opt_p):
         kw = dict(opt_params=opt_p, verbose=verbose, weights=weights,
                   trace=trace, accept_topo=accept_topo)
+        if tol is not None:
+            # --min_diff_lk_global (cl.c case 17): the outer-loop
+            # convergence window of the topology search
+            kw["tol"] = tol
         if search is spr_search:
-            return search(engine, model, dict(p0), t0, seed=s, **kw)
+            return search(engine, model, dict(p0), t0, seed=s,
+                          five_branch=five_branch, **kw)
         return search(engine, model, dict(p0), t0, **kw)
 
     from phyml_tpu.optim.blen import optimize_branch_lengths

@@ -267,3 +267,55 @@ def test_xml_spatialmodel_parsing(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         parse_xml(str(f))
+
+
+def test_no_gap_matches_reference_counts():
+    """--no_gap strips columns with gaps/ambiguity before compression
+    (cl.c case 38 io->rm_ambigu).  The reference binary reports '156
+    patterns found (out of a total of 396 sites)' for
+    examples/nucleic under --no_gap; the filter must agree exactly."""
+    from phyml_tpu.io.alignment import (
+        read_alignment, remove_ambiguous_patterns,
+    )
+
+    aln = read_alignment(os.path.join(EXAMPLES, "nucleic"),
+                         datatype="nt")
+    filt = remove_ambiguous_patterns(aln)
+    assert filt.n_sites == 396
+    assert filt.n_patterns == 156
+    # every kept cell is a definite single state
+    assert (filt.partials.sum(axis=-1) == 1.0).all()
+    # weights still count the kept sites
+    assert filt.weights.sum() == 396
+
+
+def test_cli_reference_option_aliases(workdir):
+    """The reference's alternative long-option spellings parse to the
+    same destinations (cl.c:35-135: print_site_lk==print_site_lnl,
+    anc==ancestral, freerate(s)==free_rate, inputtree==-u,
+    nclasses==-c)."""
+    from phyml_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["-i", "x", "--anc", "--print_site_lk",
+                      "--freerates", "--nclasses", "6",
+                      "--inputtree", "t.nwk", "--no_five_branch",
+                      "--min_diff_lk_global", "0.05", "--no_gap",
+                      "--mutmap", "--alias_subpatt", "--append"])
+    assert a.ancestral and a.print_site_lnl and a.free_rates
+    assert a.n_classes == 6 and a.user_tree == "t.nwk"
+    assert a.no_five_branch and a.min_diff_lk_global == 0.05
+    assert a.no_gap and a.mutmap and a.alias_subpatt and a.append
+
+
+def test_cli_mutmap_output(workdir):
+    rc = main(["-i", "nucleic", "-d", "nt", "-m", "HKY85", "-c", "4",
+               "-u", "ref_tree_A.nwk", "-b", "0", "-o", "n",
+               "--mutmap", "--quiet", "--r_seed", "5"])
+    assert rc == 0
+    path = workdir / "nucleic_phyml_mutmap.txt"
+    lines = [l for l in open(path) if not l.startswith("#")]
+    assert len(lines) > 100          # a real history, not an empty file
+    for l in lines[:20]:
+        u, p, t, s_from, s_to = l.split()
+        assert float(t) >= 0.0 and s_from != s_to
