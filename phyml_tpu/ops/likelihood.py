@@ -184,14 +184,24 @@ class LikelihoodEngine:
         # did not demand a custom quantum (sharded engines pad to
         # 128*n_shards).
         if use_pallas and quantum == 128:
-            # align to the SLOT kernel's tile first: it is the
-            # preferred host-path kernel (r5: 13.0e9 vs 7.4e9
-            # true-synced updates/s vs the dense kernel)
-            tq = st if st >= 128 else (
+            # choose P to MINIMIZE padded work over the lane-aligned
+            # tile choices of the preferred kernel (slot where it
+            # fits: 13.0e9 vs 7.4e9 true-synced updates/s vs dense),
+            # tie-breaking toward the largest tile: padding to the
+            # kernel's maximum tile can double the padded pattern
+            # count on small alignments (460 patterns -> P=2048 at
+            # T=1024 vs P=512 at T=512), and the scan-path scorers
+            # pay that padding in real compute
+            tq_cap = st if st >= 128 else (
                 tile if tile >= 128 else (sst if sst >= 128 else 0))
-            if tq:
-                tq = min(tq, self.P)
-                self.P = max(tq, int(math.ceil(P_raw / tq) * tq))
+            if tq_cap:
+                best_pc, best_t = None, 0
+                for t_ in range(128, tq_cap + 1, 128):
+                    pc = int(math.ceil(P_raw / t_) * t_)
+                    if best_pc is None or pc < best_pc or \
+                            (pc == best_pc and t_ > best_t):
+                        best_pc, best_t = pc, t_
+                self.P = max(best_pc, 128)
         pad = self.P - P_raw
         # both kernel tiles must divide the padded pattern count;
         # padding to the lane quantum (not to a tile) keeps P minimal
