@@ -177,3 +177,26 @@ def test_stepwise_addition_parsimony_tree(nucleic):
     assert p_sw < p_rand
     # golden ML tree scores 847; greedy addition should land close
     assert p_sw < 1000
+
+
+def test_no_five_branch_and_tol_plumbing(nucleic):
+    """--no_five_branch must skip the closing NNI polish (cl.c case
+    41) and --min_diff_lk_global must loosen the convergence window
+    (case 17); both ride through ml_search.  A loose tol with the
+    polish disabled converges in fewer rounds to a (possibly) lower
+    lnl — the result must still be a valid tree with finite lnL, and
+    a tight-tol run must be at least as good."""
+    from phyml_tpu.search.driver import ml_search
+
+    m = SubstModel(datatype="nt", name="GTR", n_classes=4)
+    eng = LikelihoodEngine(nucleic, m, dtype=jnp.float64)
+    p = m.init_params(nucleic.obs_state_freqs)
+    topo0 = bionj_start(eng, p)
+    topo_l, p_l, lnl_loose = ml_search(
+        eng, m, dict(p), topo0.copy(), kind="spr", retries=0,
+        tol=5.0, five_branch=False)
+    assert np.isfinite(lnl_loose)
+    assert topo_l.rooted().n_otu == nucleic.n_otu
+    topo_t, p_t, lnl_tight = ml_search(
+        eng, m, dict(p), topo0.copy(), kind="spr", retries=0)
+    assert lnl_tight >= lnl_loose - 1e-6
